@@ -1,0 +1,107 @@
+"""Host-side GF(p^2) arithmetic on numpy (..., 2) uint64 arrays.
+
+Twin of `extension.GF2` for host logic (verifier, challenger, FRI query
+checks).  Layout: x[..., 0] + x[..., 1] * phi with phi^2 = W = 7.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import gl64
+
+W = 7
+
+
+def make(a, b=0) -> np.ndarray:
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.broadcast_to(np.asarray(b, dtype=np.uint64), a.shape)
+    return np.stack([a, b], axis=-1)
+
+
+def from_base(a) -> np.ndarray:
+    return make(a, np.zeros_like(np.asarray(a, dtype=np.uint64)))
+
+
+ZERO = make(0, 0)
+ONE = make(1, 0)
+
+
+def add(x, y):
+    return np.stack(
+        [gl64.add(x[..., 0], y[..., 0]), gl64.add(x[..., 1], y[..., 1])], axis=-1
+    )
+
+
+def sub(x, y):
+    return np.stack(
+        [gl64.sub(x[..., 0], y[..., 0]), gl64.sub(x[..., 1], y[..., 1])], axis=-1
+    )
+
+
+def neg(x):
+    return np.stack([gl64.neg(x[..., 0]), gl64.neg(x[..., 1])], axis=-1)
+
+
+def mul(x, y):
+    a0, b0 = x[..., 0], x[..., 1]
+    a1, b1 = y[..., 0], y[..., 1]
+    ra = gl64.add(gl64.mul(a0, a1), gl64.mul(gl64.mul(b0, b1), np.uint64(W)))
+    rb = gl64.add(gl64.mul(a0, b1), gl64.mul(b0, a1))
+    return np.stack([ra, rb], axis=-1)
+
+
+def scalar_mul(x, s):
+    s = np.asarray(s, dtype=np.uint64)
+    return np.stack([gl64.mul(x[..., 0], s), gl64.mul(x[..., 1], s)], axis=-1)
+
+
+def square(x):
+    return mul(x, x)
+
+
+def inv(x):
+    a, b = x[..., 0], x[..., 1]
+    norm = gl64.sub(gl64.mul(a, a), gl64.mul(gl64.mul(b, b), np.uint64(W)))
+    ninv = gl64.inv(norm)
+    return np.stack([gl64.mul(a, ninv), gl64.neg(gl64.mul(b, ninv))], axis=-1)
+
+
+def pow_int(x, e: int):
+    result = np.broadcast_to(ONE, x.shape).copy()
+    acc = x
+    while e:
+        if e & 1:
+            result = mul(result, acc)
+        e >>= 1
+        if e:
+            acc = square(acc)
+    return result
+
+
+def to_canonical(x):
+    return np.stack([gl64.to_canonical(x[..., 0]), gl64.to_canonical(x[..., 1])], axis=-1)
+
+
+def equal(x, y):
+    return np.all(to_canonical(x) == to_canonical(y), axis=-1)
+
+
+def is_zero(x):
+    return np.all(to_canonical(x) == 0, axis=-1)
+
+
+def powers(base, n: int):
+    """[1, base, ..., base^(n-1)], shape (n, 2)."""
+    out = np.empty((n, 2), dtype=np.uint64)
+    acc = np.broadcast_to(ONE, (2,)).copy()
+    for i in range(n):
+        out[i] = acc
+        acc = mul(acc, base)
+    return out
+
+
+def flatten(x):
+    """GF(p^2) array (..., 2) -> base-field array (..., 2*last) by component
+    interleave; mirrors reference extension `flatten` (extension/mod.rs:128)."""
+    return x.reshape(x.shape[:-2] + (-1,)) if x.ndim >= 2 else x

@@ -1,0 +1,138 @@
+"""Number-theoretic transform over Goldilocks, batched for TPU.
+
+TPU twin of the reference FFT (reference: field/src/fft.rs:52,99,169).  The
+reference runs a radix-2 DIT with SIMD-packed butterflies; here each stage is
+one fully-vectorised jnp pass over a (batch..., n) GF array, so XLA tiles the
+butterflies onto the VPU and fuses the modular-arithmetic chains.  The input
+is bit-reversed with a precomputed gather; stages use per-stage twiddle tables
+uploaded once per size (host-exact, cached).
+
+The zero-pad stage-skip trick for LDE (reference fft.rs:169 `r` parameter) is
+`lde_coeffs` + `ntt_br_from_stage`: a power-of-two zero-padded input means the
+first `rate_bits` stages only replicate values, so we expand with jnp.repeat
+and start the butterfly loop at stage `rate_bits`.
+
+Extension (GF2) codewords transform componentwise (twiddles are base-field).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.bits import log2_strict, reverse_index_bits_perm
+from . import gl64
+from .extension import GF2
+from .goldilocks import GF
+
+
+@lru_cache(maxsize=32)
+def _stage_twiddles(log_n: int, inverse: bool) -> tuple:
+    """Twiddles per stage: stage s (s=1..log_n) uses w_{2^s}^j for j < 2^(s-1)."""
+    out = []
+    for s in range(1, log_n + 1):
+        root = gl64.primitive_root_of_unity(s)
+        if inverse:
+            root = pow(root, (1 << s) - 1, gl64.ORDER_INT)
+        out.append(GF.from_u64(gl64.powers(root, 1 << (s - 1))))
+    return tuple(out)
+
+
+@lru_cache(maxsize=32)
+def _brp_indices(n: int):
+    return jnp.asarray(reverse_index_bits_perm(n))
+
+
+@lru_cache(maxsize=64)
+def _coset_powers(shift: int, n: int) -> GF:
+    return GF.from_u64(gl64.powers(shift, n))
+
+
+@lru_cache(maxsize=32)
+def _n_inv(n: int) -> GF:
+    return GF.full((), pow(n, gl64.ORDER_INT - 2, gl64.ORDER_INT))
+
+
+def _butterflies(x: GF, log_n: int, start_stage: int, inverse: bool) -> GF:
+    """Iterative Cooley-Tukey DIT on bit-reversed input, stages unrolled."""
+    n = 1 << log_n
+    tw = _stage_twiddles(log_n, inverse)
+    batch = x.shape[:-1]
+    for s in range(start_stage + 1, log_n + 1):
+        half = 1 << (s - 1)
+        blocks = n >> s
+        xr = x.reshape(*batch, blocks, 2, half)
+        a = xr[..., 0, :]
+        b = xr[..., 1, :]
+        w = tw[s - 1]  # (half,)
+        t = b * w
+        x = GF.stack([a + t, a - t], axis=-2).reshape(*batch, n)
+    return x
+
+
+def ntt_br(x: GF, start_stage: int = 0, inverse: bool = False) -> GF:
+    """NTT of a bit-reversed-order input along the last axis."""
+    return _butterflies(x, log2_strict(x.shape[-1]), start_stage, inverse)
+
+
+def ntt(coeffs: GF) -> GF:
+    """values[i] = poly(g^i) over the order-n subgroup, natural order."""
+    n = coeffs.shape[-1]
+    x = coeffs.take(_brp_indices(n), axis=-1)
+    return ntt_br(x)
+
+
+def intt(values: GF) -> GF:
+    """Inverse NTT: values over subgroup -> coefficients."""
+    n = values.shape[-1]
+    x = values.take(_brp_indices(n), axis=-1)
+    out = ntt_br(x, inverse=True)
+    return out * _n_inv(n)
+
+
+def coset_ntt(coeffs: GF, shift: int) -> GF:
+    """Evaluate on the coset shift*H: scale coeff j by shift^j, then NTT.
+    (reference: field/src/polynomial/mod.rs `coset_fft`)"""
+    n = coeffs.shape[-1]
+    return ntt(coeffs * _coset_powers(shift, n))
+
+
+def coset_intt(values: GF, shift: int) -> GF:
+    """Inverse of coset_ntt."""
+    n = values.shape[-1]
+    shift_inv = pow(shift, gl64.ORDER_INT - 2, gl64.ORDER_INT)
+    return intt(values) * _coset_powers(shift_inv, n)
+
+
+def lde(coeffs: GF, rate_bits: int, shift: int = 1) -> GF:
+    """Low-degree extension: evaluate degree<n coeffs on a 2^rate_bits larger
+    (shifted) domain, skipping the first rate_bits butterfly stages
+    (reference fft.rs:169 stage-skip for zero-padded input)."""
+    n = coeffs.shape[-1]
+    big_n = n << rate_bits
+    scaled = coeffs * _coset_powers(shift, n) if shift != 1 else coeffs
+    x = scaled.take(_brp_indices(n), axis=-1)
+    # zero-padded input: first rate_bits stages replicate each element
+    x = GF(jnp.repeat(x.lo, 1 << rate_bits, axis=-1),
+           jnp.repeat(x.hi, 1 << rate_bits, axis=-1))
+    return ntt_br(x, start_stage=rate_bits)
+
+
+# -- extension-field wrappers (componentwise: twiddles are base field) -----
+
+def ntt_ext(coeffs: GF2) -> GF2:
+    return GF2(ntt(coeffs.a), ntt(coeffs.b))
+
+
+def intt_ext(values: GF2) -> GF2:
+    return GF2(intt(values.a), intt(values.b))
+
+
+def coset_ntt_ext(coeffs: GF2, shift: int) -> GF2:
+    return GF2(coset_ntt(coeffs.a, shift), coset_ntt(coeffs.b, shift))
+
+
+def lde_ext(coeffs: GF2, rate_bits: int, shift: int = 1) -> GF2:
+    return GF2(lde(coeffs.a, rate_bits, shift), lde(coeffs.b, rate_bits, shift))
