@@ -340,19 +340,34 @@ class GF:
         return (c.lo == 0) & (c.hi == 0)
 
     def pow_const(self, exp: int) -> "GF":
-        """self^exp for a fixed python-int exponent (unrolled at trace time)."""
+        """self^exp for a fixed python-int exponent.
+
+        Small exponents unroll at trace time; large ones run a fori_loop over
+        the exponent bits (compact graph — compile time matters)."""
         assert exp >= 0
         if exp == 0:
             return GF.ones(self.shape)
-        result = None
-        acc = self
-        e = exp
-        while e:
-            if e & 1:
-                result = acc if result is None else result * acc
-            e >>= 1
-            if e:
-                acc = acc.square()
+        if exp.bit_count() + exp.bit_length() <= 16:
+            result = None
+            acc = self
+            e = exp
+            while e:
+                if e & 1:
+                    result = acc if result is None else result * acc
+                e >>= 1
+                if e:
+                    acc = acc.square()
+            return result
+        nbits = exp.bit_length()
+        bits = jnp.asarray(
+            np.array([(exp >> i) & 1 for i in range(nbits)], dtype=np.uint32))
+
+        def body(i, carry):
+            result, acc = carry
+            hit = GF.where(bits[i] != 0, result * acc, result)
+            return (hit, acc.square())
+
+        result, _ = jax.lax.fori_loop(0, nbits, body, (GF.ones(self.shape), self))
         return result
 
     def inv(self) -> "GF":
@@ -360,23 +375,28 @@ class GF:
         return self.pow_const(ORDER - 2)
 
     def sum(self, axis=None) -> "GF":
-        """Modular reduction-sum via pairwise tree reduction."""
+        """Modular reduction-sum via pairwise (log-depth) strided slicing."""
         x = self
         if axis is None:
             x = x.reshape(-1)
             axis = 0
-        n = x.shape[axis]
+        axis = axis % max(x.ndim, 1)
+        if axis != x.ndim - 1:
+            perm = [i for i in range(x.ndim) if i != axis] + [axis]
+            x = x.transpose(*perm)
+        n = x.shape[-1]
+        rem = None
         while n > 1:
-            half = n // 2
-            even = x.take(jnp.arange(0, 2 * half, 2), axis=axis)
-            odd = x.take(jnp.arange(1, 2 * half, 2), axis=axis)
-            s = even + odd
             if n % 2:
-                tail = x.take(jnp.arange(2 * half, n), axis=axis)
-                s = GF.concatenate([s, tail], axis=axis)
-            x = s
-            n = x.shape[axis]
-        return x.take(0, axis=axis)
+                tail = x[..., n - 1 : n]
+                rem = tail if rem is None else rem + tail
+                x = x[..., : n - 1]
+                n -= 1
+            x = x[..., 0::2] + x[..., 1::2]
+            n //= 2
+        if rem is not None:
+            x = x + rem
+        return x[..., 0]
 
 
 def batch_inv(x: GF) -> GF:

@@ -17,7 +17,9 @@ Extension (GF2) codewords transform componentwise (twiddles are base-field).
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
+
+import jax
 
 import jax.numpy as jnp
 import numpy as np
@@ -30,27 +32,28 @@ from .goldilocks import GF
 
 @lru_cache(maxsize=32)
 def _stage_twiddles(log_n: int, inverse: bool) -> tuple:
-    """Twiddles per stage: stage s (s=1..log_n) uses w_{2^s}^j for j < 2^(s-1)."""
+    """Twiddles per stage: stage s (s=1..log_n) uses w_{2^s}^j for j < 2^(s-1).
+    Cached as numpy (GF constants built inside a jit trace would leak tracers
+    through the cache)."""
     out = []
     for s in range(1, log_n + 1):
         root = gl64.primitive_root_of_unity(s)
         if inverse:
             root = pow(root, (1 << s) - 1, gl64.ORDER_INT)
-        out.append(GF.from_u64(gl64.powers(root, 1 << (s - 1))))
+        out.append(gl64.powers(root, 1 << (s - 1)))
     return tuple(out)
 
 
-@lru_cache(maxsize=32)
 def _brp_indices(n: int):
-    return jnp.asarray(reverse_index_bits_perm(n))
+    # numpy (not jnp): a device array created inside a jit trace would leak
+    # a tracer through the lru_cache in utils.bits.
+    return reverse_index_bits_perm(n)
 
 
-@lru_cache(maxsize=64)
 def _coset_powers(shift: int, n: int) -> GF:
     return GF.from_u64(gl64.powers(shift, n))
 
 
-@lru_cache(maxsize=32)
 def _n_inv(n: int) -> GF:
     return GF.full((), pow(n, gl64.ORDER_INT - 2, gl64.ORDER_INT))
 
@@ -66,17 +69,19 @@ def _butterflies(x: GF, log_n: int, start_stage: int, inverse: bool) -> GF:
         xr = x.reshape(*batch, blocks, 2, half)
         a = xr[..., 0, :]
         b = xr[..., 1, :]
-        w = tw[s - 1]  # (half,)
+        w = GF.from_u64(tw[s - 1])  # (half,)
         t = b * w
         x = GF.stack([a + t, a - t], axis=-2).reshape(*batch, n)
     return x
 
 
+@partial(jax.jit, static_argnums=(1, 2))
 def ntt_br(x: GF, start_stage: int = 0, inverse: bool = False) -> GF:
     """NTT of a bit-reversed-order input along the last axis."""
     return _butterflies(x, log2_strict(x.shape[-1]), start_stage, inverse)
 
 
+@jax.jit
 def ntt(coeffs: GF) -> GF:
     """values[i] = poly(g^i) over the order-n subgroup, natural order."""
     n = coeffs.shape[-1]
@@ -84,6 +89,7 @@ def ntt(coeffs: GF) -> GF:
     return ntt_br(x)
 
 
+@jax.jit
 def intt(values: GF) -> GF:
     """Inverse NTT: values over subgroup -> coefficients."""
     n = values.shape[-1]
@@ -92,6 +98,7 @@ def intt(values: GF) -> GF:
     return out * _n_inv(n)
 
 
+@partial(jax.jit, static_argnums=(1,))
 def coset_ntt(coeffs: GF, shift: int) -> GF:
     """Evaluate on the coset shift*H: scale coeff j by shift^j, then NTT.
     (reference: field/src/polynomial/mod.rs `coset_fft`)"""
@@ -99,6 +106,7 @@ def coset_ntt(coeffs: GF, shift: int) -> GF:
     return ntt(coeffs * _coset_powers(shift, n))
 
 
+@partial(jax.jit, static_argnums=(1,))
 def coset_intt(values: GF, shift: int) -> GF:
     """Inverse of coset_ntt."""
     n = values.shape[-1]
@@ -106,6 +114,7 @@ def coset_intt(values: GF, shift: int) -> GF:
     return intt(values) * _coset_powers(shift_inv, n)
 
 
+@partial(jax.jit, static_argnums=(1, 2))
 def lde(coeffs: GF, rate_bits: int, shift: int = 1) -> GF:
     """Low-degree extension: evaluate degree<n coeffs on a 2^rate_bits larger
     (shifted) domain, skipping the first rate_bits butterfly stages

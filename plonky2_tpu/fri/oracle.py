@@ -1,0 +1,130 @@
+"""PolynomialBatch: the batch FRI polynomial commitment (oracle).
+
+TPU twin of reference fri/oracle.rs:43-220.  The full commit pipeline runs
+as batched device work: batched IFFT over the polynomial columns, stage-skip
+coset LDE, transpose to row-leaves, bit-reversal gather, and a level-batched
+Poseidon Merkle tree.  `prove_openings` computes the FRI composition
+polynomial with alpha-powers on device and performs the linear division
+(F(X) - F(z))/(X - z) in the *value domain* over the small subgroup (a batch
+inversion + IFFT) instead of the reference's sequential synthetic division —
+same quotient, but parallel instead of a length-n dependency chain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..field import gl64, ntt
+from ..field.extension import GF2
+from ..field.goldilocks import GF, batch_inv
+from ..field.polynomial import eval_ext_polys_at_ext, powers_ext
+from ..hash.merkle import MerkleTree
+from ..iop.challenger import Challenger
+from ..utils.bits import log2_strict, reverse_bits, reverse_index_bits_perm
+from .config import FriParams
+from .proof import FriProof
+from .prover import fri_proof
+from .structure import FriInstanceInfo
+
+SALT_SIZE = 4
+COSET_SHIFT = gl64.MULTIPLICATIVE_GROUP_GENERATOR  # F::coset_shift() = 7
+
+
+class PolynomialBatch:
+    """A batch of committed polynomials (coefficients on device + Merkle tree)."""
+
+    def __init__(self, polynomials: GF, merkle_tree: MerkleTree, degree_log: int,
+                 rate_bits: int, blinding: bool):
+        self.polynomials = polynomials  # (num_polys, n) coefficient rows
+        self.merkle_tree = merkle_tree
+        self.degree_log = degree_log
+        self.rate_bits = rate_bits
+        self.blinding = blinding
+
+    @classmethod
+    def from_values(cls, values: GF, rate_bits: int, blinding: bool,
+                    cap_height: int, timing=None) -> "PolynomialBatch":
+        """values: (num_polys, n) evaluations over the subgroup."""
+        coeffs = ntt.intt(values)
+        return cls.from_coeffs(coeffs, rate_bits, blinding, cap_height, timing)
+
+    @classmethod
+    def from_coeffs(cls, polynomials: GF, rate_bits: int, blinding: bool,
+                    cap_height: int, timing=None) -> "PolynomialBatch":
+        assert not blinding, "zk blinding salts not implemented yet"
+        n = polynomials.shape[-1]
+        lde_values = ntt.lde(polynomials, rate_bits, shift=COSET_SHIFT)
+        # rows of the evaluation matrix become Merkle leaves, in bit-reversed
+        # order (reference fri/oracle.rs:81-100)
+        leaves = lde_values.transpose(1, 0)
+        perm = reverse_index_bits_perm(leaves.shape[0])
+        leaves = leaves.take(perm, axis=0)
+        tree = MerkleTree(leaves, cap_height)
+        return cls(polynomials, tree, log2_strict(n), rate_bits, blinding)
+
+    @property
+    def num_polys(self) -> int:
+        return self.polynomials.shape[0]
+
+    def get_lde_values(self, index: int, step: int = 1) -> np.ndarray:
+        """Host fetch of one evaluation row (reference fri/oracle.rs:128)."""
+        idx = reverse_bits(index * step, self.degree_log + self.rate_bits)
+        return self.merkle_tree.leaves_np[idx]
+
+    # -- batch opening proof (reference fri/oracle.rs:162) -------------------
+    @staticmethod
+    def prove_openings(instance: FriInstanceInfo, oracles: list,
+                       challenger: Challenger, fri_params: FriParams,
+                       timing=None) -> FriProof:
+        alpha_np = challenger.get_extension_challenge()
+        alpha = GF2.from_u64_pair(alpha_np[0], alpha_np[1])
+
+        n = 1 << fri_params.degree_bits
+        # final_poly = sum_i alpha^(k_i) (F_i(X) - F_i(z_i)) / (X - z_i),
+        # F_i = sum_j alpha^j f_ij; k_i chosen so each alpha power is unique
+        # (the running `count`/`shift` bookkeeping of ReducingFactor).
+        final_poly = None
+        subgroup = GF.from_u64(gl64.two_adic_subgroup(fri_params.degree_bits))
+        for batch in instance.batches:
+            k = len(batch.polynomials)
+            apow = powers_ext(alpha, k)
+            # composition poly coeffs: (n,) extension
+            polys = GF.stack(
+                [oracles[p.oracle_index].polynomials[p.polynomial_index]
+                 for p in batch.polynomials], axis=0)  # (k, n)
+            comp = GF2((polys * apow.a.reshape(-1, 1)).sum(axis=0),
+                       (polys * apow.b.reshape(-1, 1)).sum(axis=0))
+            # value-domain division by (X - z) over the subgroup H
+            z = GF2.from_u64_pair(batch.point[0], batch.point[1])
+            comp_vals = ntt.ntt_ext(comp)
+            fz = eval_ext_polys_at_ext(comp, powers_ext(z, n))
+            num = comp_vals - fz.broadcast_to((n,))
+            # 1/(x - z) for base x: conj/norm with one base batch inversion
+            xa = subgroup - z.a.broadcast_to((n,))
+            zb = z.b.broadcast_to((n,))
+            norm = xa.square() - zb.square().mul_small(7)
+            ninv = batch_inv(norm)
+            den_inv = GF2(xa * ninv, zb * ninv)  # (x-za, -(-zb)) -> conj has +zb
+            quotient_vals = num * den_inv
+            quotient = ntt.intt_ext(quotient_vals)
+            if final_poly is None:
+                final_poly = quotient
+            else:
+                shift_pow = alpha.pow_const(k)
+                final_poly = final_poly * shift_pow + quotient
+
+        lde_coeffs = GF2(
+            GF.concatenate([final_poly.a, GF.zeros(((1 << fri_params.config.rate_bits) - 1) * n)]),
+            GF.concatenate([final_poly.b, GF.zeros(((1 << fri_params.config.rate_bits) - 1) * n)]),
+        )
+        lde_values = ntt.lde_ext(final_poly, fri_params.config.rate_bits, shift=COSET_SHIFT)
+
+        return fri_proof(
+            [o.merkle_tree for o in oracles],
+            lde_coeffs,
+            lde_values,
+            challenger,
+            fri_params,
+        )

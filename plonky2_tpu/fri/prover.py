@@ -1,0 +1,157 @@
+"""FRI prover: commit-phase folding, proof-of-work grind, query extraction.
+
+TPU twin of reference fri/prover.rs:20-216.  Folding happens in coefficient
+space (a strided beta-reduction, one vectorised pass) followed by a shrinking
+coset NTT per round, exactly the reference recurrence.  The PoW grind runs as
+batched Poseidon permutations over candidate vectors on device (the
+reference greps candidates with rayon find_any); query rounds are host-side
+Merkle path extraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import gl64, ntt
+from ..field.extension import GF2
+from ..field.goldilocks import GF
+from ..field.polynomial import powers_ext
+from ..hash.merkle import MerkleTree
+from ..hash.poseidon import permute
+from ..iop.challenger import Challenger
+from ..utils.bits import reverse_index_bits_perm
+from .config import FriConfig, FriParams
+from .proof import FriInitialTreeProof, FriProof, FriQueryRound, FriQueryStep
+
+import jax.numpy as jnp
+
+
+def _flatten_ext_leaves(values: GF2, arity: int) -> GF:
+    """(m*arity,) ext values -> (m, 2*arity) base leaves, components interleaved
+    per element ([a0, b0, a1, b1, ...]), matching reference `flatten`."""
+    m = values.shape[0] // arity
+    a = values.a.reshape(m, arity)
+    b = values.b.reshape(m, arity)
+    lo = jnp.stack([a.lo, b.lo], axis=-1).reshape(m, 2 * arity)
+    hi = jnp.stack([a.hi, b.hi], axis=-1).reshape(m, 2 * arity)
+    return GF(lo, hi)
+
+
+def fri_committed_trees(coeffs: GF2, values: GF2, challenger: Challenger,
+                        fri_params: FriParams):
+    """Commit phase (reference fri/prover.rs:69-113)."""
+    trees = []
+    shift = gl64.MULTIPLICATIVE_GROUP_GENERATOR
+    n = values.shape[0]
+    for arity_bits in fri_params.reduction_arity_bits:
+        arity = 1 << arity_bits
+        perm = reverse_index_bits_perm(n)
+        vals_br = values.take(perm, axis=0)
+        leaves = _flatten_ext_leaves(vals_br, arity)
+        tree = MerkleTree(leaves, fri_params.config.cap_height)
+        challenger.observe_cap(tree.cap)
+        trees.append(tree)
+
+        beta_np = challenger.get_extension_challenge()
+        beta = GF2.from_u64_pair(beta_np[0], beta_np[1])
+        # P(x) = sum_{i<r} x^i P_i(x^r)  =>  folded = sum_i beta^i P_i
+        bpow = powers_ext(beta, arity)
+        ca = coeffs.a.reshape(-1, arity)
+        cb = coeffs.b.reshape(-1, arity)
+        chunk = GF2(ca, cb)
+        coeffs = (chunk * bpow).sum(axis=-1)
+        shift = pow(shift, arity, gl64.ORDER_INT)
+        values = ntt.coset_ntt_ext(coeffs, shift)
+        n = values.shape[0]
+
+    keep = n >> fri_params.config.rate_bits
+    final_coeffs = coeffs[:keep].to_u64()  # (keep, 2); high coeffs are zero
+    for c in final_coeffs:
+        challenger.observe_extension_element(c)
+    return trees, final_coeffs
+
+
+def fri_proof_of_work(challenger: Challenger, config: FriConfig) -> np.uint64:
+    """Batched device grind (reference fri/prover.rs:115-159): find witness w
+    such that the challenge after observing w has >= proof_of_work_bits
+    leading zeros."""
+    min_lz = config.proof_of_work_bits  # + (64 - 64) for Goldilocks
+    threshold = 1 << (64 - min_lz)
+    thr_hi = np.uint32(threshold >> 32)
+    thr_lo = np.uint32(threshold & 0xFFFFFFFF)
+
+    # Precompute the duplex-intermediate state: inputs written, witness slot next.
+    inter = challenger.state.copy()
+    k = len(challenger.input_buffer)
+    if k:
+        inter[:k] = np.array(challenger.input_buffer, dtype=np.uint64)
+    pos = k
+
+    B = 1 << 16
+    offset = 0
+    witness = None
+    while witness is None:
+        cands = np.arange(offset, offset + B, dtype=np.uint64)
+        states = np.broadcast_to(inter, (B, 12)).copy()
+        states[:, pos] = cands
+        out = permute(GF.from_u64(states))
+        resp = out[:, 7].canonical()
+        lo, hi = np.asarray(resp.lo), np.asarray(resp.hi)
+        ok = (hi < thr_hi) | ((hi == thr_hi) & (lo < thr_lo))
+        hits = np.nonzero(ok)[0]
+        if hits.size:
+            witness = np.uint64(offset + int(hits[0]))
+        offset += B
+        assert offset < (1 << 40), "PoW grind failed"
+
+    # Replay through the challenger so the transcript advances identically.
+    challenger.observe_element(witness)
+    response = challenger.get_challenge()
+    assert int(response) < threshold, "PoW replay mismatch"
+    return witness
+
+
+def fri_prover_query_rounds(initial_trees: list, trees: list,
+                            challenger: Challenger, n: int,
+                            fri_params: FriParams) -> list:
+    rounds = []
+    for _ in range(fri_params.config.num_query_rounds):
+        x_index = int(challenger.get_challenge()) % n
+        rounds.append(fri_prover_query_round(initial_trees, trees, x_index, fri_params))
+    return rounds
+
+
+def fri_prover_query_round(initial_trees: list, trees: list, x_index: int,
+                           fri_params: FriParams) -> FriQueryRound:
+    initial_proof = [
+        (t.leaves_np[x_index].copy(), t.prove(x_index)) for t in initial_trees
+    ]
+    steps = []
+    for i, tree in enumerate(trees):
+        arity_bits = fri_params.reduction_arity_bits[i]
+        leaf = tree.leaves_np[x_index >> arity_bits]
+        evals = leaf.reshape(-1, 2)  # unflatten to extension elements
+        steps.append(FriQueryStep(evals, tree.prove(x_index >> arity_bits)))
+        x_index >>= arity_bits
+    return FriQueryRound(FriInitialTreeProof(initial_proof), steps)
+
+
+def fri_proof(initial_merkle_trees: list, lde_polynomial_coeffs: GF2,
+              lde_polynomial_values: GF2, challenger: Challenger,
+              fri_params: FriParams) -> FriProof:
+    """Top-level FRI proof (reference fri/prover.rs:20)."""
+    n = lde_polynomial_values.shape[0]
+    assert lde_polynomial_coeffs.shape[0] == n
+
+    trees, final_coeffs = fri_committed_trees(
+        lde_polynomial_coeffs, lde_polynomial_values, challenger, fri_params)
+    pow_witness = fri_proof_of_work(challenger, fri_params.config)
+    query_rounds = fri_prover_query_rounds(
+        initial_merkle_trees, trees, challenger, n, fri_params)
+
+    return FriProof(
+        commit_phase_merkle_caps=[t.cap for t in trees],
+        query_round_proofs=query_rounds,
+        final_poly=final_coeffs,
+        pow_witness=pow_witness,
+    )

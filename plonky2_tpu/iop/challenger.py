@@ -1,0 +1,82 @@
+"""Fiat-Shamir challenger: duplex Poseidon sponge in overwrite mode.
+
+Host twin of reference plonky2/src/iop/challenger.rs:16-160.  Challenges
+drive host-side control flow (query indices, PoW checks), so the challenger
+runs on numpy u64; each duplex is one width-12 Poseidon permutation.
+
+Transcript-order details that matter for byte-compat with the reference:
+  * absorption auto-duplexes when the input buffer reaches RATE=8;
+  * `get_challenge` duplexes if inputs are pending or outputs exhausted;
+  * outputs are state[0..8] and are popped from the END (Vec::pop), so
+    challenges stream as state[7], state[6], ..., state[0].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import gl64
+from ..hash.poseidon import permute_np
+
+RATE = 8
+WIDTH = 12
+
+
+class Challenger:
+    def __init__(self):
+        self.state = np.zeros(WIDTH, dtype=np.uint64)
+        self.input_buffer: list[int] = []
+        self.output_buffer: list[int] = []
+
+    # -- observe -----------------------------------------------------------
+    def observe_element(self, x) -> None:
+        self.output_buffer.clear()
+        self.input_buffer.append(int(gl64.to_canonical(np.uint64(int(x) % gl64.ORDER_INT))))
+        if len(self.input_buffer) == RATE:
+            self._duplexing()
+
+    def observe_elements(self, xs) -> None:
+        for x in np.asarray(xs, dtype=np.uint64).reshape(-1):
+            self.observe_element(x)
+
+    def observe_extension_element(self, x) -> None:
+        """x: (2,) basefield array for D=2."""
+        self.observe_elements(np.asarray(x, dtype=np.uint64))
+
+    def observe_hash(self, h) -> None:
+        self.observe_elements(np.asarray(h, dtype=np.uint64).reshape(4))
+
+    def observe_cap(self, cap) -> None:
+        data = cap.data if hasattr(cap, "data") else np.asarray(cap, dtype=np.uint64)
+        for row in data.reshape(-1, 4):
+            self.observe_hash(row)
+
+    # -- squeeze -----------------------------------------------------------
+    def get_challenge(self) -> np.uint64:
+        if self.input_buffer or not self.output_buffer:
+            self._duplexing()
+        return np.uint64(self.output_buffer.pop())
+
+    def get_n_challenges(self, n: int) -> np.ndarray:
+        return np.array([self.get_challenge() for _ in range(n)], dtype=np.uint64)
+
+    def get_hash(self) -> np.ndarray:
+        return self.get_n_challenges(4)
+
+    def get_extension_challenge(self) -> np.ndarray:
+        """(2,) basefield components of one GF(p^2) challenge."""
+        return self.get_n_challenges(2)
+
+    def get_n_extension_challenges(self, n: int) -> np.ndarray:
+        return np.stack([self.get_extension_challenge() for _ in range(n)])
+
+    # -- internals -----------------------------------------------------------
+    def _duplexing(self) -> None:
+        assert len(self.input_buffer) <= RATE
+        k = len(self.input_buffer)
+        if k:
+            self.state = self.state.copy()
+            self.state[:k] = np.array(self.input_buffer, dtype=np.uint64)
+            self.input_buffer.clear()
+        self.state = permute_np(self.state)
+        self.output_buffer = [int(x) for x in gl64.to_canonical(self.state[:RATE])]
