@@ -105,3 +105,125 @@ def flatten(x):
     """GF(p^2) array (..., 2) -> base-field array (..., 2*last) by component
     interleave; mirrors reference extension `flatten` (extension/mod.rs:128)."""
     return x.reshape(x.shape[:-2] + (-1,)) if x.ndim >= 2 else x
+
+
+class E2:
+    """Operator-friendly scalar wrapper over a (2,) u64 extension element.
+
+    Lets generic (field-polymorphic) code — gate constraint evaluators, the
+    vanishing polynomial — run unchanged on host extension scalars, device
+    GF/GF2 arrays, or (later) circuit targets.
+    """
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = np.asarray(v, dtype=np.uint64).reshape(2)
+
+    @staticmethod
+    def of(a, b=0) -> "E2":
+        return E2(np.array([a, b], dtype=np.uint64))
+
+    @staticmethod
+    def from_base_int(a: int) -> "E2":
+        return E2.of(a % gl64.ORDER_INT)
+
+    def __add__(self, o):
+        return E2(add(self.v, _coerce(o)))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return E2(sub(self.v, _coerce(o)))
+
+    def __rsub__(self, o):
+        return E2(sub(_coerce(o), self.v))
+
+    def __mul__(self, o):
+        return E2(mul(self.v, _coerce(o)))
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return E2(neg(self.v))
+
+    def square(self) -> "E2":
+        return E2(square(self.v))
+
+    def mul_small(self, c: int) -> "E2":
+        return E2(scalar_mul(self.v, np.uint64(c)))
+
+    def inv(self) -> "E2":
+        return E2(inv(self.v))
+
+    def pow_const(self, e: int) -> "E2":
+        return E2(pow_int(self.v, e))
+
+    def is_zero(self) -> bool:
+        return bool(is_zero(self.v))
+
+    def equals(self, o) -> bool:
+        return bool(equal(self.v, _coerce(o)))
+
+
+def _coerce(o):
+    if isinstance(o, E2):
+        return o.v
+    if isinstance(o, (int,)):
+        return make(np.uint64(o % gl64.ORDER_INT), 0)
+    return np.asarray(o, dtype=np.uint64)
+
+
+class V64:
+    """Operator-friendly wrapper over base-field u64 numpy arrays.
+
+    The witness-generation twin of E2: generic gate code (e.g. the Poseidon
+    round schedule) runs on V64-wrapped arrays vectorised over gate rows.
+    """
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = np.asarray(v, dtype=np.uint64)
+
+    @staticmethod
+    def of(x) -> "V64":
+        return V64(np.asarray(x, dtype=np.uint64))
+
+    def _c(self, o):
+        return o.v if isinstance(o, V64) else np.uint64(int(o) % gl64.ORDER_INT)
+
+    def __add__(self, o):
+        return V64(gl64.add(self.v, self._c(o)))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return V64(gl64.sub(self.v, self._c(o)))
+
+    def __rsub__(self, o):
+        return V64(gl64.sub(self._c(o), self.v))
+
+    def __mul__(self, o):
+        return V64(gl64.mul(self.v, self._c(o)))
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return V64(gl64.neg(self.v))
+
+    def square(self) -> "V64":
+        return V64(gl64.square(self.v))
+
+
+class V64Ctx:
+    ext = False
+
+    def constant(self, v: int):
+        return V64.of(np.uint64(v % gl64.ORDER_INT))
+
+    def zero(self):
+        return self.constant(0)
+
+    def one(self):
+        return self.constant(1)

@@ -42,6 +42,7 @@ class PolynomialBatch:
         self.degree_log = degree_log
         self.rate_bits = rate_bits
         self.blinding = blinding
+        self._lde_values = None
 
     @classmethod
     def from_values(cls, values: GF, rate_bits: int, blinding: bool,
@@ -62,7 +63,17 @@ class PolynomialBatch:
         perm = reverse_index_bits_perm(leaves.shape[0])
         leaves = leaves.take(perm, axis=0)
         tree = MerkleTree(leaves, cap_height)
-        return cls(polynomials, tree, log2_strict(n), rate_bits, blinding)
+        batch = cls(polynomials, tree, log2_strict(n), rate_bits, blinding)
+        # natural-order LDE rows kept on device for the quotient pass
+        batch._lde_values = lde_values
+        return batch
+
+    def lde_values_natural(self) -> GF:
+        """(num_polys, n << rate_bits) evaluations in natural coset order."""
+        if getattr(self, "_lde_values", None) is None:
+            self._lde_values = ntt.lde(self.polynomials, self.rate_bits,
+                                       shift=COSET_SHIFT)
+        return self._lde_values
 
     @property
     def num_polys(self) -> int:

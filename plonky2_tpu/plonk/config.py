@@ -1,0 +1,39 @@
+"""Circuit configuration (twin of reference plonk/circuit_data.rs:42-110)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..fri.config import FriConfig, FriReductionStrategy, standard_fri_config
+
+
+@dataclass(frozen=True)
+class CircuitConfig:
+    num_wires: int = 135
+    num_routed_wires: int = 80
+    num_constants: int = 2
+    use_base_arithmetic_gate: bool = True
+    security_bits: int = 100
+    num_challenges: int = 2
+    zero_knowledge: bool = False
+    max_quotient_degree_factor: int = 8
+    fri_config: FriConfig = field(default_factory=standard_fri_config)
+
+    @staticmethod
+    def standard_recursion_config() -> "CircuitConfig":
+        """reference plonk/circuit_data.rs:72"""
+        return CircuitConfig()
+
+    @staticmethod
+    def standard_recursion_zk_config() -> "CircuitConfig":
+        return CircuitConfig(zero_knowledge=True)
+
+
+class PlonkOracle:
+    """Commitment (oracle) indices + blinding flags (plonk_common.rs:17-39)."""
+
+    CONSTANTS_SIGMAS = 0
+    WIRES = 1
+    ZS_PARTIAL_PRODUCTS = 2
+    QUOTIENT = 3
+    BLINDING = (False, True, True, True)  # by oracle index (zk only)

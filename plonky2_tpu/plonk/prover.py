@@ -1,0 +1,268 @@
+"""PLONK prover (twin of reference plonk/prover.rs:102-744).
+
+Pipeline stays the reference's; each stage is re-shaped for TPU:
+  * witness generation: leveled batched numpy (WitnessSchedule);
+  * wire/partial-product/quotient commitments: batched device NTT + Merkle;
+  * Z and partial products: log-depth prefix products over rows instead of
+    the reference's sequential row walk (prover.rs:359);
+  * quotient: gate constraints evaluated over the WHOLE 8n coset at once
+    (replacing the 32-point packed-SIMD batches of prover.rs:574).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import gl64, ntt
+from ..field.extension import GF2
+from ..field.goldilocks import GF, batch_inv
+from ..field.polynomial import eval_polys_at_ext, powers_ext
+from ..fri.oracle import COSET_SHIFT, PolynomialBatch
+from ..iop.challenger import Challenger
+from ..hash.hashing import hash_no_pad_np
+from ..utils.bits import reverse_index_bits_perm
+from .circuit_data import CommonCircuitData, ProverOnlyCircuitData
+from .gates.base import BaseBatchCtx, EvalVars
+from .proof import OpeningSet, Proof, ProofWithPublicInputs
+from .vanishing import eval_vanishing_poly
+from .witness import PartialWitness
+
+P = gl64.ORDER_INT
+
+
+def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
+          inputs: PartialWitness, timing=None) -> ProofWithPublicInputs:
+    config = common.config
+    num_challenges = config.num_challenges
+    degree = common.degree()
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+
+    # 1. witness generation (host, leveled batches)
+    wires_matrix, all_values = prover_data.schedule.generate(inputs)
+    public_inputs = prover_data.schedule.values_of(all_values,
+                                                   prover_data.public_inputs)
+    public_inputs = gl64.to_canonical(public_inputs)
+    public_inputs_hash = hash_no_pad_np(public_inputs)
+
+    # 2. wires commitment
+    wires_values = GF.from_u64(wires_matrix)
+    wires_commitment = PolynomialBatch.from_values(
+        wires_values, rate_bits, False, cap_height)
+
+    challenger = Challenger()
+    challenger.observe_hash(prover_data.circuit_digest)
+    challenger.observe_hash(public_inputs_hash)
+    challenger.observe_cap(wires_commitment.merkle_tree.cap)
+
+    betas = challenger.get_n_challenges(num_challenges)
+    gammas = challenger.get_n_challenges(num_challenges)
+
+    # 3. partial products + Z polys (device, prefix products over rows)
+    zs_partial_products = _all_partial_products_and_zs(
+        wires_matrix, betas, gammas, prover_data, common)
+    pp_commitment = PolynomialBatch.from_values(
+        zs_partial_products, rate_bits, False, cap_height)
+    challenger.observe_cap(pp_commitment.merkle_tree.cap)
+
+    alphas = challenger.get_n_challenges(num_challenges)
+
+    # 4. quotient polynomials
+    quotient_chunks = _compute_quotient_polys(
+        common, prover_data, public_inputs_hash, wires_commitment,
+        pp_commitment, betas, gammas, alphas)
+    quotient_commitment = PolynomialBatch.from_coeffs(
+        quotient_chunks, rate_bits, False, cap_height)
+    challenger.observe_cap(quotient_commitment.merkle_tree.cap)
+
+    # 5. openings at zeta, g*zeta
+    zeta_np = challenger.get_extension_challenge()
+    assert not _in_subgroup(zeta_np, common.degree_bits()), \
+        "opening point is in the subgroup"
+    openings = _opening_set(zeta_np, prover_data.constants_sigmas_commitment,
+                            wires_commitment, pp_commitment,
+                            quotient_commitment, common)
+    for batch in openings.to_fri_openings().batches:
+        for v in batch.values:
+            challenger.observe_extension_element(v)
+
+    instance = common.get_fri_instance(zeta_np)
+    opening_proof = PolynomialBatch.prove_openings(
+        instance,
+        [prover_data.constants_sigmas_commitment, wires_commitment,
+         pp_commitment, quotient_commitment],
+        challenger, common.fri_params)
+
+    proof = Proof(
+        wires_cap=wires_commitment.merkle_tree.cap,
+        plonk_zs_partial_products_cap=pp_commitment.merkle_tree.cap,
+        quotient_polys_cap=quotient_commitment.merkle_tree.cap,
+        openings=openings,
+        opening_proof=opening_proof,
+    )
+    return ProofWithPublicInputs(proof, public_inputs)
+
+
+def _in_subgroup(zeta: np.ndarray, degree_bits: int) -> bool:
+    from ..field import gl64ext
+    z = gl64ext.pow_int(np.asarray(zeta, np.uint64), 1 << degree_bits)
+    return bool(gl64ext.equal(z, gl64ext.ONE))
+
+
+def _all_partial_products_and_zs(wires_matrix: np.ndarray, betas, gammas,
+                                 prover_data, common) -> GF:
+    """Returns GF (num_challenges*(1+num_prods), n): [Z_c ...] ++ [partials_c ...]
+    (prover.rs:330-415)."""
+    n = common.degree()
+    num_routed = common.config.num_routed_wires
+    deg = common.quotient_degree_factor
+    num_prods = common.num_partial_products
+
+    routed = GF.from_u64(wires_matrix[:num_routed].T)  # (n, routed)
+    sigmas = GF.from_u64(prover_data.sigmas)  # (n, routed)
+    x = GF.from_u64(prover_data.subgroup).reshape(-1, 1)  # (n, 1)
+    k = GF.from_u64(common.k_is).reshape(1, -1)  # (1, routed)
+    s_id = x * k
+
+    zs = []
+    partials = []
+    for beta, gamma in zip(betas, gammas):
+        b = GF.full((), int(beta))
+        g = GF.full((), int(gamma))
+        numer = routed + s_id * b + g
+        denom = routed + sigmas * b + g
+        quotients = numer * batch_inv(denom)  # (n, routed)
+        # chunk products of size deg -> (n, num_prods+1)
+        chunks = quotients.reshape(n, (num_prods + 1), deg)
+        cp = chunks[:, :, 0]
+        for j in range(1, deg):
+            cp = cp * chunks[:, :, j]
+        # row totals and exclusive prefix over rows -> Z values
+        row_total = cp[:, 0]
+        for j in range(1, num_prods + 1):
+            row_total = row_total * cp[:, j]
+        z = _exclusive_prefix_product(row_total)  # (n,) Z(x_i)
+        # partial products p_k(x_i) = Z(x_i) * prod(cp[:, :k+1])
+        run = z
+        pps = []
+        for kk in range(num_prods):
+            run = run * cp[:, kk]
+            pps.append(run)
+        zs.append(z)
+        partials.extend(pps)
+    return GF.stack(zs + partials, axis=0)
+
+
+def _exclusive_prefix_product(v: GF) -> GF:
+    """[1, v0, v0 v1, ...] — Hillis-Steele inclusive scan, shifted."""
+    n = v.shape[0]
+    x = v
+    shift = 1
+    while shift < n:
+        shifted = GF.concatenate([GF.ones((shift,)), x[: n - shift]], axis=0)
+        x = x * shifted
+        shift *= 2
+    return GF.concatenate([GF.ones((1,)), x[: n - 1]], axis=0)
+
+
+def _compute_quotient_polys(common, prover_data, public_inputs_hash,
+                            wires_commitment, pp_commitment, betas, gammas,
+                            alphas) -> GF:
+    """Evaluate the vanishing polynomial over the whole quotient coset,
+    divide by Z_H, and return quotient chunks (num_ch*deg_factor, n) coeffs."""
+    n = common.degree()
+    qdb = (common.quotient_degree_factor - 1).bit_length()  # log2_ceil(8) = 3
+    rate_bits = common.config.fri_config.rate_bits
+    assert qdb <= rate_bits
+    step = 1 << (rate_bits - qdb)
+    next_step = 1 << qdb
+    lde_n = n << qdb
+
+    # LDE values at natural-order coset points, every `step`th point
+    def lde_rows(commitment):
+        return commitment.lde_values_natural()[:, ::step]  # (k, lde_n)
+
+    cs = lde_rows(prover_data.constants_sigmas_commitment)
+    wires = lde_rows(wires_commitment)
+    pps = lde_rows(pp_commitment)
+    pps_next = pps.take((np.arange(lde_n) + next_step) % lde_n, axis=-1)
+
+    nc = common.config.num_challenges
+    num_prods = common.num_partial_products
+    local_constants = [cs[i] for i in range(common.num_constants)]
+    s_sigmas = [cs[i] for i in common.sigmas_range()]
+    local_wires = [wires[i] for i in range(common.config.num_wires)]
+    local_zs = [pps[i] for i in range(nc)]
+    next_zs = [pps_next[i] for i in range(nc)]
+    partial_products = [pps[i] for i in common.partial_products_range()]
+
+    ctx = BaseBatchCtx()
+    pis_hash = [GF.full((), int(h)) for h in public_inputs_hash]
+    # points: shifted big subgroup, natural order
+    big_subgroup = gl64.two_adic_subgroup(common.degree_bits() + qdb)
+    xs = GF.from_u64(gl64.mul(big_subgroup, np.uint64(COSET_SHIFT)))
+
+    # Z_H(x) on the coset has period 2^qdb; L_0(x) = Z_H(x) / (n (x-1))
+    zh = _z_h_on_coset(common.degree_bits(), qdb)  # (2^qdb,) values
+    zh_tiled = GF.from_u64(np.tile(zh, n))
+    denom = (xs - GF.ones(())) * GF.full((), n)
+    l_0 = zh_tiled * batch_inv(denom)
+
+    vars = EvalVars(local_constants=local_constants, local_wires=local_wires,
+                    public_inputs_hash=pis_hash)
+    vanishing = eval_vanishing_poly(
+        ctx, common, xs, vars, local_zs, next_zs, partial_products, s_sigmas,
+        betas, gammas, alphas, l_0)
+
+    zh_inv_tiled = GF.from_u64(np.tile(gl64.batch_inv(zh), n))
+    quotient_values = GF.stack([v * zh_inv_tiled for v in vanishing], axis=0)
+    quotient_coeffs = ntt.coset_intt(quotient_values, COSET_SHIFT)
+    # split into deg_factor chunks of length n each: coeffs (nc, 8n)
+    chunks = quotient_coeffs.reshape(nc * common.quotient_degree_factor, n)
+    return chunks
+
+
+def _z_h_on_coset(degree_bits: int, qdb: int) -> np.ndarray:
+    """Z_H(shift * h^i) = shift^n * (h^n)^i - 1, period 2^qdb
+    (reference field/src/zero_poly_coset.rs:7)."""
+    n = 1 << degree_bits
+    shift_pow_n = gl64.pow_scalar(COSET_SHIFT, n)
+    h = gl64.primitive_root_of_unity(degree_bits + qdb)
+    h_pow_n = gl64.pow_scalar(h, n)  # primitive 2^qdb-th root
+    out = np.empty(1 << qdb, dtype=np.uint64)
+    acc = shift_pow_n
+    for i in range(1 << qdb):
+        out[i] = (acc - 1) % P
+        acc = (acc * h_pow_n) % P
+    return out
+
+
+def _opening_set(zeta_np, constants_sigmas_commitment, wires_commitment,
+                 pp_commitment, quotient_commitment, common) -> OpeningSet:
+    """Evaluate every committed polynomial at zeta (Zs also at g*zeta)."""
+    n = common.degree()
+    zeta = GF2.from_u64_pair(zeta_np[0], zeta_np[1])
+    g = gl64.primitive_root_of_unity(common.degree_bits())
+    zeta_g = zeta * GF.full((), g)
+
+    zpow = powers_ext(zeta, n)
+    zgpow = powers_ext(zeta_g, n)
+
+    cs_eval = eval_polys_at_ext(constants_sigmas_commitment.polynomials, zpow).to_u64()
+    wires_eval = eval_polys_at_ext(wires_commitment.polynomials, zpow).to_u64()
+    pp_eval = eval_polys_at_ext(pp_commitment.polynomials, zpow).to_u64()
+    pp_next_eval = eval_polys_at_ext(
+        pp_commitment.polynomials[: common.config.num_challenges], zgpow).to_u64()
+    quot_eval = eval_polys_at_ext(quotient_commitment.polynomials, zpow).to_u64()
+
+    cr = common.constants_range()
+    sr = common.sigmas_range()
+    return OpeningSet(
+        constants=cs_eval[cr.start:cr.stop],
+        plonk_sigmas=cs_eval[sr.start:sr.stop],
+        wires=wires_eval,
+        plonk_zs=pp_eval[: common.config.num_challenges],
+        plonk_zs_next=pp_next_eval,
+        partial_products=pp_eval[common.config.num_challenges:],
+        quotient_polys=quot_eval,
+    )

@@ -1,0 +1,204 @@
+"""Witness generation: build-time leveled dataflow, batched numpy execution.
+
+The reference runs a dynamic watch-list scheduler over boxed generators
+(iop/generator.rs:19-99).  Its firing order is data-independent for every
+deterministic circuit, so we topologically level the generator dataflow
+*once at build time* (through the copy-constraint equivalence classes), then
+execute each level as a handful of vectorised numpy dispatches grouped by
+generator kind — e.g. all ArithmeticGate ops in a level run as one gather /
+mul / scatter, every PoseidonGate in a level hashes as one (B, 12) batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..field import gl64
+from .gates.base import GeneratorSpec
+from .gates.poseidon_gate import poseidon_generator_trace
+from . import targets as tg
+
+
+class PartialWitness:
+    """User-provided inputs (reference iop/witness.rs:267)."""
+
+    def __init__(self):
+        self.entries: dict[int, int] = {}
+
+    def set_target(self, t: int, value: int) -> None:
+        self.entries[t] = int(value) % gl64.ORDER_INT
+
+    def set_wire(self, row: int, column: int, value: int) -> None:
+        self.set_target(tg.wire(row, column), value)
+
+
+@dataclass
+class _Group:
+    kind: str
+    dep_reps: np.ndarray  # (g, d) int64
+    out_reps: np.ndarray  # (g, o) int64
+    params: np.ndarray | list  # kind-specific
+    fns: list | None = None
+
+
+class WitnessSchedule:
+    """Dense representative map + leveled, kind-grouped generator plan."""
+
+    def __init__(self, num_rows: int, num_wires: int, num_virtual: int,
+                 copy_pairs: list, generators: list[GeneratorSpec],
+                 rng_seed: int = 0):
+        self.num_rows = num_rows
+        self.num_wires = num_wires
+        self.num_virtual = num_virtual
+        self.total = num_rows * num_wires + num_virtual
+        self.rng_seed = rng_seed
+
+        # --- union-find over dense target indices ---
+        parents = np.arange(self.total, dtype=np.int64)
+
+        def dense(t: int) -> int:
+            if tg.is_wire(t):
+                return tg.wire_row(t) * num_wires + tg.wire_column(t)
+            return num_rows * num_wires + tg.virtual_index(t)
+
+        self._dense = dense
+
+        def find(i: int) -> int:
+            while parents[i] != i:
+                parents[i] = parents[parents[i]]
+                i = parents[i]
+            return int(i)
+
+        for a, b in copy_pairs:
+            ra, rb = find(dense(a)), find(dense(b))
+            if ra != rb:
+                parents[rb] = ra
+        # full path compression by pointer doubling
+        while True:
+            nxt = parents[parents]
+            if np.array_equal(nxt, parents):
+                break
+            parents = nxt
+        self.parents = parents
+
+        # --- level the generators ---
+        producer_of: dict[int, int] = {}
+        gen_deps = []
+        gen_outs = []
+        for gi, g in enumerate(generators):
+            dreps = [int(parents[dense(t)]) for t in g.deps]
+            oreps = [int(parents[dense(t)]) for t in g.outs]
+            gen_deps.append(dreps)
+            gen_outs.append(oreps)
+            for r in oreps:
+                # A rep should have a single producer; later producers win a
+                # warning-free pass for now (consistent values by construction).
+                producer_of.setdefault(r, gi)
+
+        level = [0] * len(generators)
+        indeg = []
+        consumers: dict[int, list] = {}
+        for gi, dreps in enumerate(gen_deps):
+            prods = {producer_of[r] for r in dreps
+                     if r in producer_of and producer_of[r] != gi}
+            indeg.append(len(prods))
+            for p in prods:
+                consumers.setdefault(p, []).append(gi)
+        # Kahn with level tracking
+        from collections import deque
+        queue = deque(gi for gi, d in enumerate(indeg) if d == 0)
+        remaining = dict()
+        for gi, dreps in enumerate(gen_deps):
+            prods = {producer_of[r] for r in dreps
+                     if r in producer_of and producer_of[r] != gi}
+            remaining[gi] = set(prods)
+        processed = 0
+        while queue:
+            gi = queue.popleft()
+            processed += 1
+            for c in consumers.get(gi, ()):
+                remaining[c].discard(gi)
+                if not remaining[c]:
+                    level[c] = max(level[c], level[gi] + 1)
+                    queue.append(c)
+                else:
+                    level[c] = max(level[c], level[gi] + 1)
+        if processed != len(generators):
+            raise ValueError("cyclic generator dependency")
+
+        # --- group by (level, kind) ---
+        by_level_kind: dict[tuple, list] = {}
+        for gi, g in enumerate(generators):
+            by_level_kind.setdefault((level[gi], g.kind), []).append(gi)
+
+        self.levels: list[list[_Group]] = []
+        max_level = max(level) if generators else -1
+        for lv in range(max_level + 1):
+            groups = []
+            for (glv, kind), gis in sorted(by_level_kind.items(),
+                                           key=lambda kv: (kv[0][0], kv[0][1])):
+                if glv != lv:
+                    continue
+                dep_mat = np.array([gen_deps[gi] for gi in gis], dtype=np.int64) \
+                    if gen_deps[gis[0]] else np.zeros((len(gis), 0), np.int64)
+                out_mat = np.array([gen_outs[gi] for gi in gis], dtype=np.int64)
+                if kind == "arithmetic":
+                    params = np.array([generators[gi].params for gi in gis],
+                                      dtype=np.uint64)
+                elif kind == "constant":
+                    params = np.array([generators[gi].params[0] for gi in gis],
+                                      dtype=np.uint64)
+                else:
+                    params = [generators[gi].params for gi in gis]
+                fns = [generators[gi].fn for gi in gis] if kind == "custom" else None
+                groups.append(_Group(kind, dep_mat, out_mat, params, fns))
+            if groups:
+                self.levels.append(groups)
+
+    # ------------------------------------------------------------------
+    def generate(self, pw: PartialWitness) -> np.ndarray:
+        """Run all generators; returns the (num_wires, num_rows) wire matrix."""
+        values = np.zeros(self.total, dtype=np.uint64)
+        parents = self.parents
+        for t, v in pw.entries.items():
+            values[parents[self._dense(t)]] = np.uint64(v)
+
+        rng = np.random.default_rng(self.rng_seed)
+        for groups in self.levels:
+            for g in groups:
+                if g.kind == "arithmetic":
+                    deps = values[g.dep_reps]  # (g, 3)
+                    c0 = g.params[:, 0]
+                    c1 = g.params[:, 1]
+                    out = gl64.add(gl64.mul(c0, gl64.mul(deps[:, 0], deps[:, 1])),
+                                   gl64.mul(c1, deps[:, 2]))
+                    values[g.out_reps[:, 0]] = out
+                elif g.kind == "poseidon":
+                    deps = values[g.dep_reps]  # (g, 13)
+                    trace = poseidon_generator_trace(deps)
+                    values[g.out_reps] = gl64.to_canonical(trace)
+                elif g.kind == "constant":
+                    values[g.out_reps[:, 0]] = g.params
+                elif g.kind == "random":
+                    values[g.out_reps[:, 0]] = rng.integers(
+                        0, gl64.ORDER_INT, size=len(g.out_reps), dtype=np.uint64)
+                elif g.kind == "copy":
+                    values[g.out_reps[:, 0]] = values[g.dep_reps[:, 0]]
+                elif g.kind == "custom":
+                    for i, fn in enumerate(g.fns):
+                        outs = fn(values[g.dep_reps[i]])
+                        values[g.out_reps[i]] = np.asarray(outs, dtype=np.uint64)
+                else:
+                    raise ValueError(f"unknown generator kind {g.kind}")
+
+        wires = values[parents[: self.num_rows * self.num_wires]]
+        return wires.reshape(self.num_rows, self.num_wires).T.copy(), values
+
+    def values_of(self, values: np.ndarray, ts: list) -> np.ndarray:
+        idx = np.array([self.parents[self._dense(t)] for t in ts], dtype=np.int64)
+        return values[idx] if len(idx) else np.zeros(0, dtype=np.uint64)
+
+    def rep(self, t: int) -> int:
+        return int(self.parents[self._dense(t)])

@@ -19,6 +19,15 @@ try:
 except Exception:  # backends already initialised (fine if cpu)
     pass
 
+# Persistent compilation cache: the proving pipeline compiles one graph per
+# (op, shape); caching across pytest runs removes the dominant fixed cost.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/plonky2_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
