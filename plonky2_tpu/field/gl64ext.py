@@ -215,6 +215,9 @@ class V64:
     def square(self) -> "V64":
         return V64(gl64.square(self.v))
 
+    def mul_small(self, c: int) -> "V64":
+        return V64(gl64.mul(self.v, np.uint64(c)))
+
 
 class V64Ctx:
     ext = False

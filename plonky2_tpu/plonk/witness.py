@@ -128,23 +128,30 @@ class WitnessSchedule:
         if processed != len(generators):
             raise ValueError("cyclic generator dependency")
 
-        # --- group by (level, kind) ---
+        # --- group by (level, kind, arity, static params) ---
         by_level_kind: dict[tuple, list] = {}
         for gi, g in enumerate(generators):
-            by_level_kind.setdefault((level[gi], g.kind), []).append(gi)
+            if g.kind in ("arithmetic", "constant", "random", "copy", "custom",
+                          "arith_ext", "mul_ext"):
+                pkey = ()  # per-instance params are batched as arrays
+            else:
+                pkey = g.params  # must be uniform within a batch
+            key = (level[gi], g.kind, len(g.deps), len(g.outs), pkey)
+            by_level_kind.setdefault(key, []).append(gi)
 
         self.levels: list[list[_Group]] = []
         max_level = max(level) if generators else -1
         for lv in range(max_level + 1):
             groups = []
-            for (glv, kind), gis in sorted(by_level_kind.items(),
-                                           key=lambda kv: (kv[0][0], kv[0][1])):
+            for key, gis in sorted(by_level_kind.items(),
+                                   key=lambda kv: (kv[0][0], str(kv[0][1:]))):
+                glv, kind = key[0], key[1]
                 if glv != lv:
                     continue
                 dep_mat = np.array([gen_deps[gi] for gi in gis], dtype=np.int64) \
                     if gen_deps[gis[0]] else np.zeros((len(gis), 0), np.int64)
                 out_mat = np.array([gen_outs[gi] for gi in gis], dtype=np.int64)
-                if kind == "arithmetic":
+                if kind in ("arithmetic", "arith_ext", "mul_ext"):
                     params = np.array([generators[gi].params for gi in gis],
                                       dtype=np.uint64)
                 elif kind == "constant":
@@ -186,6 +193,86 @@ class WitnessSchedule:
                         0, gl64.ORDER_INT, size=len(g.out_reps), dtype=np.uint64)
                 elif g.kind == "copy":
                     values[g.out_reps[:, 0]] = values[g.dep_reps[:, 0]]
+                elif g.kind == "arith_ext":
+                    from ..field import gl64ext
+                    deps = values[g.dep_reps]  # (g, 6): m0(2) m1(2) ad(2)
+                    params = np.asarray(g.params, dtype=np.uint64)
+                    m0 = deps[:, 0:2]
+                    m1 = deps[:, 2:4]
+                    ad = deps[:, 4:6]
+                    out = gl64ext.add(
+                        gl64ext.scalar_mul(gl64ext.mul(m0, m1), params[:, 0]),
+                        gl64ext.scalar_mul(ad, params[:, 1]))
+                    values[g.out_reps] = gl64.to_canonical(out)
+                elif g.kind == "mul_ext":
+                    from ..field import gl64ext
+                    deps = values[g.dep_reps]  # (g, 4)
+                    params = np.asarray(g.params, dtype=np.uint64)
+                    out = gl64ext.scalar_mul(
+                        gl64ext.mul(deps[:, 0:2], deps[:, 2:4]), params[:, 0])
+                    values[g.out_reps] = gl64.to_canonical(out)
+                elif g.kind == "reducing":
+                    from ..field import gl64ext
+                    num_coeffs, is_ext = g.params[0]
+                    deps = values[g.dep_reps]
+                    alpha = deps[:, 0:2]
+                    acc = deps[:, 2:4]
+                    outs = np.empty((len(deps), num_coeffs, 2), dtype=np.uint64)
+                    for i in range(num_coeffs):
+                        if is_ext:
+                            coeff = deps[:, 4 + 2 * i: 6 + 2 * i]
+                        else:
+                            coeff = gl64ext.from_base(deps[:, 4 + i])
+                        acc = gl64ext.add(gl64ext.mul(acc, alpha), coeff)
+                        outs[:, i] = acc
+                    values[g.out_reps] = gl64.to_canonical(
+                        outs.reshape(len(deps), -1))
+                elif g.kind == "poseidon_mds":
+                    from ..field import gl64ext
+                    from ..hash import poseidon_constants as PC
+                    deps = values[g.dep_reps].reshape(-1, 12, 2)
+                    outs = np.zeros_like(deps)
+                    for r in range(12):
+                        acc = gl64ext.ZERO
+                        for i in range(12):
+                            acc = gl64ext.add(acc, gl64ext.scalar_mul(
+                                deps[:, (i + r) % 12],
+                                np.uint64(PC.MDS_MATRIX_CIRC[i])))
+                        if PC.MDS_MATRIX_DIAG[r]:
+                            acc = gl64ext.add(acc, gl64ext.scalar_mul(
+                                deps[:, r], np.uint64(PC.MDS_MATRIX_DIAG[r])))
+                        outs[:, r] = acc
+                    values[g.out_reps] = gl64.to_canonical(outs.reshape(len(deps), -1))
+                elif g.kind == "base_sum":
+                    base, num_limbs = g.params[0]
+                    s = gl64.to_canonical(values[g.dep_reps[:, 0]]).astype(object)
+                    limbs = np.empty((len(s), num_limbs), dtype=np.uint64)
+                    for i in range(num_limbs):
+                        limbs[:, i] = (s % base).astype(np.uint64)
+                        s //= base
+                    values[g.out_reps] = limbs
+                elif g.kind == "exponentiation":
+                    (nbits,) = g.params[0]
+                    deps = values[g.dep_reps]  # (g, 1 + nbits)
+                    base = deps[:, 0]
+                    bits = deps[:, 1:]
+                    iv = np.ones(len(deps), dtype=np.uint64)
+                    outs = np.empty((len(deps), nbits + 1), dtype=np.uint64)
+                    for i in range(nbits):
+                        prev = iv if i == 0 else gl64.square(iv)
+                        cur_bit = bits[:, nbits - i - 1]
+                        mult = np.where(gl64.to_canonical(cur_bit) != 0, base,
+                                        np.uint64(1))
+                        iv = gl64.mul(prev, mult)
+                        outs[:, i] = iv
+                    outs[:, nbits] = iv
+                    values[g.out_reps] = gl64.to_canonical(outs)
+                elif g.kind == "random_access_bits":
+                    (nbits,) = g.params[0]
+                    idx = gl64.to_canonical(values[g.dep_reps[:, 0]])
+                    bits = ((idx[:, None] >> np.arange(nbits, dtype=np.uint64))
+                            & np.uint64(1))
+                    values[g.out_reps] = bits.astype(np.uint64)
                 elif g.kind == "custom":
                     for i, fn in enumerate(g.fns):
                         outs = fn(values[g.dep_reps[i]])
