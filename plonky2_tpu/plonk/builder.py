@@ -24,12 +24,13 @@ from .gates.arithmetic import ArithmeticGate
 from .gates.base import GeneratorSpec
 from .gates.poseidon_gate import WIDTH, PoseidonGate
 from .gates.simple import ConstantGate, NoopGate, PublicInputGate
+from .gadgets import BuilderGadgets
 from .witness import WitnessSchedule
 
 UNUSED_SELECTOR = (1 << 32) - 1
 
 
-class CircuitBuilder:
+class CircuitBuilder(BuilderGadgets):
     def __init__(self, config: CircuitConfig | None = None):
         self.config = config or CircuitConfig.standard_recursion_config()
         self.gate_instances: list = []  # (gate, constants list of ints)
@@ -43,6 +44,7 @@ class CircuitBuilder:
         self.constant_generators: list = []  # (row, constant_index, wire_index)
         self.current_slots: dict = {}  # (gate_id, params) -> (row, op)
         self.base_arithmetic_results: dict = {}
+        self.suppressed_gate_generators: set = set()
 
     # -- targets ------------------------------------------------------------
     def add_virtual_target(self) -> int:
@@ -267,6 +269,8 @@ class CircuitBuilder:
         incomplete = {row: op for (gid, params), (row, op) in self.current_slots.items()}
         all_gen_specs = []
         for row, (gate, consts) in enumerate(self.gate_instances):
+            if row in self.suppressed_gate_generators:
+                continue
             gens = gate.generators(row, consts)
             if row in incomplete:
                 gens = gens[: incomplete[row]]

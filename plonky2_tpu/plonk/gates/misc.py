@@ -155,6 +155,10 @@ class RandomAccessGate(Gate):
                 f"{self.num_copies}, num_extra_constants: {self.num_extra_constants},"
                 f" _phantom: PhantomData<plonky2_field::goldilocks_field::GoldilocksField> }}<D=2>")
 
+    @property
+    def num_ops(self):
+        return self.num_copies  # find_slot slot count
+
     def vec_size(self):
         return 1 << self.bits
 

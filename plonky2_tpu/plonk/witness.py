@@ -114,23 +114,34 @@ class WitnessSchedule:
             prods = {producer_of[r] for r in dreps
                      if r in producer_of and producer_of[r] != gi}
             remaining[gi] = set(prods)
-        processed = 0
+        processed_set = set()
         while queue:
             gi = queue.popleft()
-            processed += 1
+            if gi in processed_set:
+                continue
+            processed_set.add(gi)
             for c in consumers.get(gi, ()):
                 remaining[c].discard(gi)
+                level[c] = max(level[c], level[gi] + 1)
                 if not remaining[c]:
-                    level[c] = max(level[c], level[gi] + 1)
                     queue.append(c)
-                else:
-                    level[c] = max(level[c], level[gi] + 1)
-        if processed != len(generators):
-            raise ValueError("cyclic generator dependency")
+        # Generators stuck in dependency cycles (e.g. a value both computed
+        # in-circuit and fed back through a copy constraint, which the
+        # reference's dynamic watch-list loop resolves at runtime,
+        # iop/generator.rs:54) fall back to a small dynamic pass.
+        self.residual = [gi for gi in range(len(generators))
+                         if gi not in processed_set]
+        self._residual_specs = [(generators[gi], gen_deps[gi], gen_outs[gi])
+                                for gi in self.residual]
+        residual_outs = {r for gi in self.residual for r in gen_outs[gi]}
+        self._residual_out_reps = residual_outs
 
         # --- group by (level, kind, arity, static params) ---
+        residual_set = set(self.residual)
         by_level_kind: dict[tuple, list] = {}
         for gi, g in enumerate(generators):
+            if gi in residual_set:
+                continue
             if g.kind in ("arithmetic", "constant", "random", "copy", "custom",
                           "arith_ext", "mul_ext"):
                 pkey = ()  # per-instance params are batched as arrays
@@ -175,113 +186,151 @@ class WitnessSchedule:
         rng = np.random.default_rng(self.rng_seed)
         for groups in self.levels:
             for g in groups:
-                if g.kind == "arithmetic":
-                    deps = values[g.dep_reps]  # (g, 3)
-                    c0 = g.params[:, 0]
-                    c1 = g.params[:, 1]
-                    out = gl64.add(gl64.mul(c0, gl64.mul(deps[:, 0], deps[:, 1])),
-                                   gl64.mul(c1, deps[:, 2]))
-                    values[g.out_reps[:, 0]] = out
-                elif g.kind == "poseidon":
-                    deps = values[g.dep_reps]  # (g, 13)
-                    trace = poseidon_generator_trace(deps)
-                    values[g.out_reps] = gl64.to_canonical(trace)
-                elif g.kind == "constant":
-                    values[g.out_reps[:, 0]] = g.params
-                elif g.kind == "random":
-                    values[g.out_reps[:, 0]] = rng.integers(
-                        0, gl64.ORDER_INT, size=len(g.out_reps), dtype=np.uint64)
-                elif g.kind == "copy":
-                    values[g.out_reps[:, 0]] = values[g.dep_reps[:, 0]]
-                elif g.kind == "arith_ext":
-                    from ..field import gl64ext
-                    deps = values[g.dep_reps]  # (g, 6): m0(2) m1(2) ad(2)
-                    params = np.asarray(g.params, dtype=np.uint64)
-                    m0 = deps[:, 0:2]
-                    m1 = deps[:, 2:4]
-                    ad = deps[:, 4:6]
-                    out = gl64ext.add(
-                        gl64ext.scalar_mul(gl64ext.mul(m0, m1), params[:, 0]),
-                        gl64ext.scalar_mul(ad, params[:, 1]))
-                    values[g.out_reps] = gl64.to_canonical(out)
-                elif g.kind == "mul_ext":
-                    from ..field import gl64ext
-                    deps = values[g.dep_reps]  # (g, 4)
-                    params = np.asarray(g.params, dtype=np.uint64)
-                    out = gl64ext.scalar_mul(
-                        gl64ext.mul(deps[:, 0:2], deps[:, 2:4]), params[:, 0])
-                    values[g.out_reps] = gl64.to_canonical(out)
-                elif g.kind == "reducing":
-                    from ..field import gl64ext
-                    num_coeffs, is_ext = g.params[0]
-                    deps = values[g.dep_reps]
-                    alpha = deps[:, 0:2]
-                    acc = deps[:, 2:4]
-                    outs = np.empty((len(deps), num_coeffs, 2), dtype=np.uint64)
-                    for i in range(num_coeffs):
-                        if is_ext:
-                            coeff = deps[:, 4 + 2 * i: 6 + 2 * i]
-                        else:
-                            coeff = gl64ext.from_base(deps[:, 4 + i])
-                        acc = gl64ext.add(gl64ext.mul(acc, alpha), coeff)
-                        outs[:, i] = acc
-                    values[g.out_reps] = gl64.to_canonical(
-                        outs.reshape(len(deps), -1))
-                elif g.kind == "poseidon_mds":
-                    from ..field import gl64ext
-                    from ..hash import poseidon_constants as PC
-                    deps = values[g.dep_reps].reshape(-1, 12, 2)
-                    outs = np.zeros_like(deps)
-                    for r in range(12):
-                        acc = gl64ext.ZERO
-                        for i in range(12):
-                            acc = gl64ext.add(acc, gl64ext.scalar_mul(
-                                deps[:, (i + r) % 12],
-                                np.uint64(PC.MDS_MATRIX_CIRC[i])))
-                        if PC.MDS_MATRIX_DIAG[r]:
-                            acc = gl64ext.add(acc, gl64ext.scalar_mul(
-                                deps[:, r], np.uint64(PC.MDS_MATRIX_DIAG[r])))
-                        outs[:, r] = acc
-                    values[g.out_reps] = gl64.to_canonical(outs.reshape(len(deps), -1))
-                elif g.kind == "base_sum":
-                    base, num_limbs = g.params[0]
-                    s = gl64.to_canonical(values[g.dep_reps[:, 0]]).astype(object)
-                    limbs = np.empty((len(s), num_limbs), dtype=np.uint64)
-                    for i in range(num_limbs):
-                        limbs[:, i] = (s % base).astype(np.uint64)
-                        s //= base
-                    values[g.out_reps] = limbs
-                elif g.kind == "exponentiation":
-                    (nbits,) = g.params[0]
-                    deps = values[g.dep_reps]  # (g, 1 + nbits)
-                    base = deps[:, 0]
-                    bits = deps[:, 1:]
-                    iv = np.ones(len(deps), dtype=np.uint64)
-                    outs = np.empty((len(deps), nbits + 1), dtype=np.uint64)
-                    for i in range(nbits):
-                        prev = iv if i == 0 else gl64.square(iv)
-                        cur_bit = bits[:, nbits - i - 1]
-                        mult = np.where(gl64.to_canonical(cur_bit) != 0, base,
-                                        np.uint64(1))
-                        iv = gl64.mul(prev, mult)
-                        outs[:, i] = iv
-                    outs[:, nbits] = iv
-                    values[g.out_reps] = gl64.to_canonical(outs)
-                elif g.kind == "random_access_bits":
-                    (nbits,) = g.params[0]
-                    idx = gl64.to_canonical(values[g.dep_reps[:, 0]])
-                    bits = ((idx[:, None] >> np.arange(nbits, dtype=np.uint64))
-                            & np.uint64(1))
-                    values[g.out_reps] = bits.astype(np.uint64)
-                elif g.kind == "custom":
-                    for i, fn in enumerate(g.fns):
-                        outs = fn(values[g.dep_reps[i]])
-                        values[g.out_reps[i]] = np.asarray(outs, dtype=np.uint64)
-                else:
-                    raise ValueError(f"unknown generator kind {g.kind}")
+                self._exec_group(g, values, rng)
+
+        # dynamic pass for generators in copy-constraint cycles
+        if self._residual_specs:
+            set_mask = np.ones(self.total, dtype=bool)
+            for r in self._residual_out_reps:
+                set_mask[r] = False
+            for t in pw.entries:
+                set_mask[parents[self._dense(t)]] = True
+            pending = list(self._residual_specs)
+            while pending:
+                progressed = False
+                still = []
+                for spec, dreps, oreps in pending:
+                    if all(set_mask[r] for r in dreps):
+                        grp = _Group(
+                            spec.kind,
+                            np.array([dreps], dtype=np.int64)
+                            if dreps else np.zeros((1, 0), np.int64),
+                            np.array([oreps], dtype=np.int64),
+                            np.array([spec.params], dtype=np.uint64)
+                            if spec.kind in ("arithmetic", "arith_ext", "mul_ext")
+                            else (np.array([spec.params[0]], dtype=np.uint64)
+                                  if spec.kind == "constant" else [spec.params]),
+                            [spec.fn] if spec.kind == "custom" else None)
+                        self._exec_group(grp, values, rng)
+                        for r in oreps:
+                            set_mask[r] = True
+                        progressed = True
+                    else:
+                        still.append((spec, dreps, oreps))
+                pending = still
+                if not progressed and pending:
+                    raise ValueError(
+                        f"{len(pending)} generators never became runnable "
+                        "(unsatisfiable dependency cycle)")
 
         wires = values[parents[: self.num_rows * self.num_wires]]
         return wires.reshape(self.num_rows, self.num_wires).T.copy(), values
+
+    def _exec_group(self, g: _Group, values: np.ndarray, rng) -> None:
+        if g.kind == "arithmetic":
+            deps = values[g.dep_reps]  # (g, 3)
+            c0 = g.params[:, 0]
+            c1 = g.params[:, 1]
+            out = gl64.add(gl64.mul(c0, gl64.mul(deps[:, 0], deps[:, 1])),
+                           gl64.mul(c1, deps[:, 2]))
+            values[g.out_reps[:, 0]] = out
+        elif g.kind == "poseidon":
+            deps = values[g.dep_reps]  # (g, 13)
+            trace = poseidon_generator_trace(deps)
+            values[g.out_reps] = gl64.to_canonical(trace)
+        elif g.kind == "constant":
+            values[g.out_reps[:, 0]] = g.params
+        elif g.kind == "random":
+            values[g.out_reps[:, 0]] = rng.integers(
+                0, gl64.ORDER_INT, size=len(g.out_reps), dtype=np.uint64)
+        elif g.kind == "copy":
+            values[g.out_reps[:, 0]] = values[g.dep_reps[:, 0]]
+        elif g.kind == "arith_ext":
+            from ..field import gl64ext
+            deps = values[g.dep_reps]  # (g, 6): m0(2) m1(2) ad(2)
+            params = np.asarray(g.params, dtype=np.uint64)
+            m0 = deps[:, 0:2]
+            m1 = deps[:, 2:4]
+            ad = deps[:, 4:6]
+            out = gl64ext.add(
+                gl64ext.scalar_mul(gl64ext.mul(m0, m1), params[:, 0]),
+                gl64ext.scalar_mul(ad, params[:, 1]))
+            values[g.out_reps] = gl64.to_canonical(out)
+        elif g.kind == "mul_ext":
+            from ..field import gl64ext
+            deps = values[g.dep_reps]  # (g, 4)
+            params = np.asarray(g.params, dtype=np.uint64)
+            out = gl64ext.scalar_mul(
+                gl64ext.mul(deps[:, 0:2], deps[:, 2:4]), params[:, 0])
+            values[g.out_reps] = gl64.to_canonical(out)
+        elif g.kind == "reducing":
+            from ..field import gl64ext
+            num_coeffs, is_ext = g.params[0]
+            deps = values[g.dep_reps]
+            alpha = deps[:, 0:2]
+            acc = deps[:, 2:4]
+            outs = np.empty((len(deps), num_coeffs, 2), dtype=np.uint64)
+            for i in range(num_coeffs):
+                if is_ext:
+                    coeff = deps[:, 4 + 2 * i: 6 + 2 * i]
+                else:
+                    coeff = gl64ext.from_base(deps[:, 4 + i])
+                acc = gl64ext.add(gl64ext.mul(acc, alpha), coeff)
+                outs[:, i] = acc
+            values[g.out_reps] = gl64.to_canonical(
+                outs.reshape(len(deps), -1))
+        elif g.kind == "poseidon_mds":
+            from ..field import gl64ext
+            from ..hash import poseidon_constants as PC
+            deps = values[g.dep_reps].reshape(-1, 12, 2)
+            outs = np.zeros_like(deps)
+            for r in range(12):
+                acc = gl64ext.ZERO
+                for i in range(12):
+                    acc = gl64ext.add(acc, gl64ext.scalar_mul(
+                        deps[:, (i + r) % 12],
+                        np.uint64(PC.MDS_MATRIX_CIRC[i])))
+                if PC.MDS_MATRIX_DIAG[r]:
+                    acc = gl64ext.add(acc, gl64ext.scalar_mul(
+                        deps[:, r], np.uint64(PC.MDS_MATRIX_DIAG[r])))
+                outs[:, r] = acc
+            values[g.out_reps] = gl64.to_canonical(outs.reshape(len(deps), -1))
+        elif g.kind == "base_sum":
+            base, num_limbs = g.params[0]
+            s = gl64.to_canonical(values[g.dep_reps[:, 0]]).astype(object)
+            limbs = np.empty((len(s), num_limbs), dtype=np.uint64)
+            for i in range(num_limbs):
+                limbs[:, i] = (s % base).astype(np.uint64)
+                s //= base
+            values[g.out_reps] = limbs
+        elif g.kind == "exponentiation":
+            (nbits,) = g.params[0]
+            deps = values[g.dep_reps]  # (g, 1 + nbits)
+            base = deps[:, 0]
+            bits = deps[:, 1:]
+            iv = np.ones(len(deps), dtype=np.uint64)
+            outs = np.empty((len(deps), nbits + 1), dtype=np.uint64)
+            for i in range(nbits):
+                prev = iv if i == 0 else gl64.square(iv)
+                cur_bit = bits[:, nbits - i - 1]
+                mult = np.where(gl64.to_canonical(cur_bit) != 0, base,
+                                np.uint64(1))
+                iv = gl64.mul(prev, mult)
+                outs[:, i] = iv
+            outs[:, nbits] = iv
+            values[g.out_reps] = gl64.to_canonical(outs)
+        elif g.kind == "random_access_bits":
+            (nbits,) = g.params[0]
+            idx = gl64.to_canonical(values[g.dep_reps[:, 0]])
+            bits = ((idx[:, None] >> np.arange(nbits, dtype=np.uint64))
+                    & np.uint64(1))
+            values[g.out_reps] = bits.astype(np.uint64)
+        elif g.kind == "custom":
+            for i, fn in enumerate(g.fns):
+                outs = fn(values[g.dep_reps[i]])
+                values[g.out_reps[i]] = np.asarray(outs, dtype=np.uint64)
+        else:
+            raise ValueError(f"unknown generator kind {g.kind}")
 
     def values_of(self, values: np.ndarray, ts: list) -> np.ndarray:
         idx = np.array([self.parents[self._dense(t)] for t in ts], dtype=np.int64)
