@@ -1,0 +1,127 @@
+"""STARK prover (twin of reference starky/src/prover.rs:32-318).
+
+Same pipeline as the reference; the constraint evaluation runs once over
+the whole quotient coset as batched device work instead of packed-SIMD
+point batches."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import gl64, ntt
+from ..field.extension import GF2
+from ..field.goldilocks import GF, batch_inv
+from ..field.polynomial import eval_polys_at_ext, powers_ext
+from ..fri.oracle import COSET_SHIFT, PolynomialBatch
+from ..iop.challenger import Challenger
+from ..plonk.gates.base import BaseBatchCtx
+from ..utils.bits import log2_strict
+from .config import StarkConfig
+from .proof import StarkOpeningSet, StarkProof, StarkProofWithPublicInputs
+from .stark import ConstraintConsumer, Stark, StarkEvaluationVars
+
+P = gl64.ORDER_INT
+
+
+def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
+          public_inputs: np.ndarray, timing=None) -> StarkProofWithPublicInputs:
+    """trace_poly_values: (COLUMNS, degree) evaluations over the subgroup."""
+    assert not stark.uses_permutation_args(), \
+        "permutation arguments not implemented yet"
+    degree = trace_poly_values.shape[-1]
+    degree_bits = log2_strict(degree)
+    fri_params = config.fri_params(degree_bits)
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+    assert fri_params.total_arities() <= degree_bits + rate_bits - cap_height
+
+    trace_commitment = PolynomialBatch.from_values(
+        trace_poly_values, rate_bits, False, cap_height)
+    challenger = Challenger()
+    challenger.observe_cap(trace_commitment.merkle_tree.cap)
+
+    alphas = challenger.get_n_challenges(config.num_challenges)
+
+    quotient_chunks = _compute_quotient_polys(
+        stark, trace_commitment, public_inputs, alphas, degree_bits, config)
+    quotient_commitment = PolynomialBatch.from_coeffs(
+        quotient_chunks, rate_bits, False, cap_height)
+    challenger.observe_cap(quotient_commitment.merkle_tree.cap)
+
+    zeta_np = challenger.get_extension_challenge()
+    g = gl64.primitive_root_of_unity(degree_bits)
+    zeta = GF2.from_u64_pair(zeta_np[0], zeta_np[1])
+    zeta_g = zeta * GF.full((), g)
+    zpow = powers_ext(zeta, degree)
+    zgpow = powers_ext(zeta_g, degree)
+
+    openings = StarkOpeningSet(
+        local_values=eval_polys_at_ext(trace_commitment.polynomials, zpow).to_u64(),
+        next_values=eval_polys_at_ext(trace_commitment.polynomials, zgpow).to_u64(),
+        quotient_polys=eval_polys_at_ext(quotient_commitment.polynomials, zpow).to_u64(),
+    )
+    for batch in openings.to_fri_openings().batches:
+        for v in batch.values:
+            challenger.observe_extension_element(v)
+
+    opening_proof = PolynomialBatch.prove_openings(
+        stark.fri_instance(zeta_np, g, config),
+        [trace_commitment, quotient_commitment],
+        challenger, fri_params)
+
+    proof = StarkProof(
+        trace_cap=trace_commitment.merkle_tree.cap,
+        quotient_polys_cap=quotient_commitment.merkle_tree.cap,
+        openings=openings,
+        opening_proof=opening_proof,
+    )
+    return StarkProofWithPublicInputs(proof, np.asarray(public_inputs, np.uint64))
+
+
+def _compute_quotient_polys(stark: Stark, trace_commitment, public_inputs,
+                            alphas, degree_bits: int, config) -> GF:
+    degree = 1 << degree_bits
+    rate_bits = config.fri_config.rate_bits
+    qdb = (stark.quotient_degree_factor() - 1).bit_length()
+    assert qdb <= rate_bits
+    step = 1 << (rate_bits - qdb)
+    next_step = 1 << qdb
+    size = degree << qdb
+
+    trace = trace_commitment.lde_values_natural()[:, ::step]  # (COLS, size)
+    import jax.numpy as jnp
+    trace_next = GF(jnp.roll(trace.lo, -next_step, axis=-1),
+                    jnp.roll(trace.hi, -next_step, axis=-1))
+
+    big = gl64.two_adic_subgroup(degree_bits + qdb)
+    xs = GF.from_u64(gl64.mul(big, np.uint64(COSET_SHIFT)))
+    last = pow(gl64.primitive_root_of_unity(degree_bits), P - 2, P)
+    z_last = xs - GF.full((), last)
+
+    # Lagrange first/last on the coset: L_0 = Z_H/(n(x-1)), L_{n-1} = Z_H/(n(x-g^{n-1}))
+    from ..plonk.prover import _z_h_on_coset
+    zh = _z_h_on_coset(degree_bits, qdb)
+    zh_tiled = GF.from_u64(np.tile(zh, degree))
+    n_c = GF.full((), degree)
+    lag_first = zh_tiled * batch_inv((xs - GF.ones(())) * n_c)
+    lag_last = zh_tiled * batch_inv((xs - GF.full((), last)) * n_c)
+
+    ctx = BaseBatchCtx()
+    vars = StarkEvaluationVars(
+        local_values=[trace[i] for i in range(stark.COLUMNS)],
+        next_values=[trace_next[i] for i in range(stark.COLUMNS)],
+        public_inputs=[GF.full((), int(pi)) for pi in public_inputs],
+    )
+    consumer = ConstraintConsumer(ctx, alphas, z_last, lag_first, lag_last)
+    stark.eval_generic(ctx, vars, consumer)
+
+    zh_inv_tiled = GF.from_u64(np.tile(gl64.batch_inv(zh), degree))
+    quotient_values = GF.stack(
+        [acc * zh_inv_tiled for acc in consumer.accumulators()], axis=0)
+    quotient_coeffs = ntt.coset_intt(quotient_values, COSET_SHIFT)
+    # trim to qdf*degree (the chunks beyond are zero) and split into
+    # degree-sized chunks per challenge
+    qdf = stark.quotient_degree_factor()
+    chunks = quotient_coeffs.reshape(config.num_challenges, 1 << qdb, degree)
+    chunks = chunks[:, :qdf, :]
+    return chunks.reshape(config.num_challenges * qdf, degree)
