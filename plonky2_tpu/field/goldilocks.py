@@ -26,11 +26,13 @@ import numpy as np
 from . import gl64
 
 ORDER = gl64.ORDER_INT
-EPSILON32 = jnp.uint32(0xFFFFFFFF)
-ZERO32 = jnp.uint32(0)
-ONE32 = jnp.uint32(1)
+# numpy scalars (not jnp): these embed as literals in traced graphs, so
+# Pallas kernels using these helpers don't capture device constants.
+EPSILON32 = np.uint32(0xFFFFFFFF)
+ZERO32 = np.uint32(0)
+ONE32 = np.uint32(1)
 
-_M16 = jnp.uint32(0xFFFF)
+_M16 = np.uint32(0xFFFF)
 
 
 def _u32(x):

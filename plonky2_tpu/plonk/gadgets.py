@@ -10,7 +10,8 @@ from __future__ import annotations
 from ..field import gl64
 from . import targets as tg
 from .gates.base import GeneratorSpec
-from .gates.ext_gates import ArithmeticExtensionGate, MulExtensionGate
+from .gates.ext_gates import (ArithmeticExtensionGate, MulExtensionGate,
+                              ReducingExtensionGate, ReducingGate)
 from .gates.misc import BaseSumGate, ExponentiationGate, RandomAccessGate
 
 P = gl64.ORDER_INT
@@ -237,6 +238,141 @@ class BuilderGadgets:
         for _ in range(log_exp):
             cur = self.square(cur)
         return cur
+
+    def exp_from_bits_const_base(self, base: int, bits_le: list) -> int:
+        """base^(sum 2^i b_i) for a CONSTANT integer base and bit targets
+        (gadgets/arithmetic.rs:273): product *= 1 + b*(base^{2^i} - 1)."""
+        product = self.one()
+        for i, b in enumerate(bits_le):
+            pw = gl64.pow_scalar(base, 1 << i)
+            product = self.arithmetic((pw - 1) % P, 1, product, b, product)
+        return product
+
+    # -- extension helpers for the recursive verifier -------------------------
+    def square_extension(self, a: tuple) -> tuple:
+        return self.mul_extension(a, a)
+
+    def exp_power_of_2_extension(self, a: tuple, log_exp: int) -> tuple:
+        cur = a
+        for _ in range(log_exp):
+            cur = self.square_extension(cur)
+        return cur
+
+    def select_ext(self, b: int, x: tuple, y: tuple) -> tuple:
+        return (self.select(b, x[0], y[0]), self.select(b, x[1], y[1]))
+
+    # -- bit helpers (gadgets/range_check.rs:19) ------------------------------
+    def low_bits(self, x: int, num_low_bits: int, num_bits: int = 64) -> list:
+        return self.split_le(x, num_bits)[:num_low_bits]
+
+    def assert_leading_zeros(self, x: int, leading_zeros: int) -> None:
+        """Assert the top `leading_zeros` bits of x (as a 64-bit value) are 0."""
+        self.range_check(x, 64 - leading_zeros)
+
+    # -- in-circuit hashing (hash/hashing.rs:15, merkle_proofs.rs:114) --------
+    def hash_or_noop(self, inputs: list) -> list:
+        if len(inputs) <= 4:
+            zero = self.zero()
+            return list(inputs) + [zero] * (4 - len(inputs))
+        return self.hash_n_to_hash_no_pad(inputs)
+
+    def verify_merkle_proof_to_cap_with_cap_index(
+            self, leaf_data: list, leaf_index_bits: list, cap_index: int,
+            merkle_cap: list, proof_siblings: list) -> None:
+        """Walk leaf->cap with swap bits, then pin against cap[cap_index]
+        (reference hash/merkle_proofs.rs:114)."""
+        zero = self.zero()
+        state = self.hash_or_noop(leaf_data)
+        for bit, sibling in zip(leaf_index_bits, proof_siblings):
+            perm_in = state + list(sibling) + [zero] * 4
+            out = self.permute_swapped(perm_in, bit)
+            state = out[:4]
+        for i in range(4):
+            got = self.random_access(cap_index, [h[i] for h in merkle_cap])
+            self.connect(got, state[i])
+
+    def connect_hashes(self, x: list, y: list) -> None:
+        for a, b in zip(x, y):
+            self.connect(a, b)
+
+
+class ReducingFactorTarget:
+    """alpha-power folding over targets (twin of util/reducing.rs:114).
+
+    reduce(terms) = sum_i terms[i] * alpha^i via ReducingGate /
+    ReducingExtensionGate packing; shift(x) = x * alpha^count where count
+    accumulates the lengths of prior reduce calls."""
+
+    def __init__(self, base_ext: tuple):
+        self.base = base_ext
+        self.count = 0
+
+    def reduce_base(self, terms: list, b) -> tuple:
+        """terms: base-field targets."""
+        num_arith_ops = b.config.num_routed_wires // (4 * D)
+        if len(terms) <= num_arith_ops + 1:
+            return self._reduce_arithmetic([b.convert_to_ext(t) for t in terms], b)
+        max_len = ReducingGate.max_coeffs_len(b.config.num_wires,
+                                              b.config.num_routed_wires)
+        self.count += len(terms)
+        zero = b.zero()
+        acc = b.zero_extension()
+        rev = list(terms)
+        while len(rev) % max_len:
+            rev.append(zero)
+        rev.reverse()
+        for start in range(0, len(rev), max_len):
+            chunk = rev[start:start + max_len]
+            gate = ReducingGate(max_len)
+            row = b.add_gate(gate, [])
+            b.connect_extension(self.base, _ext_wires(row, gate.wires_alpha()))
+            b.connect_extension(acc, _ext_wires(row, gate.wires_old_acc()))
+            for i, t in enumerate(chunk):
+                b.connect(t, tg.wire(row, gate.wire_coeff(i)))
+            acc = _ext_wires(row, gate.wires_output())
+        return acc
+
+    def reduce(self, terms: list, b) -> tuple:
+        """terms: extension targets."""
+        num_arith_ops = b.config.num_routed_wires // (4 * D)
+        if len(terms) <= num_arith_ops + 1:
+            return self._reduce_arithmetic(list(terms), b)
+        max_len = ReducingExtensionGate.max_coeffs_len(b.config.num_wires,
+                                                       b.config.num_routed_wires)
+        self.count += len(terms)
+        zero_ext = b.zero_extension()
+        acc = b.zero_extension()
+        rev = list(terms)
+        while len(rev) % max_len:
+            rev.append(zero_ext)
+        rev.reverse()
+        for start in range(0, len(rev), max_len):
+            chunk = rev[start:start + max_len]
+            gate = ReducingExtensionGate(max_len)
+            row = b.add_gate(gate, [])
+            b.connect_extension(self.base, _ext_wires(row, gate.wires_alpha()))
+            b.connect_extension(acc, _ext_wires(row, gate.wires_old_acc()))
+            for i, t in enumerate(chunk):
+                b.connect_extension(t, _ext_wires(row, gate.wires_coeff(i)))
+            acc = _ext_wires(row, gate.wires_output())
+        return acc
+
+    def _reduce_arithmetic(self, terms: list, b) -> tuple:
+        self.count += len(terms)
+        acc = b.zero_extension()
+        for t in reversed(terms):
+            acc = b.mul_add_extension(acc, self.base, t)
+        return acc
+
+    def shift(self, x: tuple, b) -> tuple:
+        out = b.mul_extension(b.exp_u64_extension(self.base, self.count), x) \
+            if self.count else x
+        self.count = 0
+        return out
+
+
+def _ext_wires(row: int, start: int) -> tuple:
+    return (tg.wire(row, start), tg.wire(row, start + 1))
 
 
 int_or_target = int

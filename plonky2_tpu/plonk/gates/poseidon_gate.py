@@ -43,6 +43,12 @@ def sbox_monomial_g(x):
 
 
 def mds_layer_g(ctx, state):
+    # Recursive-verifier contexts route full MDS layers through a dedicated
+    # PoseidonMdsGate row (reference hash/poseidon.rs:284) instead of 144
+    # scalar-mul/add gate slots.
+    hook = getattr(ctx, "poseidon_mds_layer", None)
+    if hook is not None:
+        return hook(state)
     out = []
     for r in range(WIDTH):
         acc = state[r] * ctx.constant(C.MDS_MATRIX_DIAG[r]) if C.MDS_MATRIX_DIAG[r] else None

@@ -13,9 +13,21 @@ Constraint ordering (must match for alpha-combination parity):
 
 from __future__ import annotations
 
+import numpy as np
+
 from .gates.base import EvalVars
 
 UNUSED_SELECTOR = (1 << 32) - 1  # u32::MAX (gates/selectors.rs:14)
+
+
+def _elem(ctx, v):
+    """Lift a host integer challenge to a ctx element; pass elements through.
+
+    Lets one implementation serve the prover/verifier (integer challenges)
+    and the recursive verifier (challenges are circuit targets)."""
+    if isinstance(v, (int, np.integer)):
+        return ctx.constant(int(v))
+    return v
 
 
 def compute_filter(ctx, row: int, group: range, s, many_selectors: bool):
@@ -94,17 +106,17 @@ def eval_vanishing_poly(ctx, common, x, vars: EvalVars, local_zs, next_zs,
         z_gx = next_zs[i]
         vanishing_z_1_terms.append(l_0_x * (z_x - ctx.one()))
 
-        beta, gamma = int(betas[i]), int(gammas[i])
+        beta = _elem(ctx, betas[i])
+        gamma = _elem(ctx, gammas[i])
         numerators = []
         denominators = []
         for j in range(num_routed):
             wire = vars.local_wires[j]
             # wire + beta * k_j * x + gamma
             numerators.append(
-                wire + x * ctx.constant((beta * int(common.k_is[j])) % _P)
-                + ctx.constant(gamma))
+                wire + x * (beta * ctx.constant(int(common.k_is[j]))) + gamma)
             denominators.append(
-                wire + s_sigmas[j] * ctx.constant(beta) + ctx.constant(gamma))
+                wire + s_sigmas[j] * beta + gamma)
 
         cur_partials = partial_products[i * num_prods:(i + 1) * num_prods]
         vanishing_partial_products_terms.extend(
@@ -116,7 +128,7 @@ def eval_vanishing_poly(ctx, common, x, vars: EvalVars, local_zs, next_zs,
     # reduce_with_powers_multi (plonk_common.rs:97): Horner from the last term
     out = []
     for a in alphas:
-        alpha_c = ctx.constant(int(a))
+        alpha_c = _elem(ctx, a)
         acc = ctx.zero()
         for t in reversed(terms):
             acc = acc * alpha_c + t

@@ -84,57 +84,69 @@ class WitnessSchedule:
         self.parents = parents
 
         # --- level the generators ---
-        producer_of: dict[int, int] = {}
+        # A rep (copy-constraint class) may have SEVERAL producers: e.g. a
+        # gate output wire connected to a constant target, or two gadgets
+        # whose outputs are connect()ed.  All producers write the same value
+        # (the witness satisfies the circuit by construction), so a rep
+        # becomes *available* when its FIRST producer fires — OR-semantics.
+        # Keeping only one producer would manufacture false dependency
+        # cycles (the reference's dynamic watch-list, iop/generator.rs:54,
+        # never has this problem; this is its static equivalent).
         gen_deps = []
         gen_outs = []
+        producers_of: dict[int, list] = {}
         for gi, g in enumerate(generators):
             dreps = [int(parents[dense(t)]) for t in g.deps]
             oreps = [int(parents[dense(t)]) for t in g.outs]
             gen_deps.append(dreps)
             gen_outs.append(oreps)
             for r in oreps:
-                # A rep should have a single producer; later producers win a
-                # warning-free pass for now (consistent values by construction).
-                producer_of.setdefault(r, gi)
+                producers_of.setdefault(r, []).append(gi)
 
-        level = [0] * len(generators)
-        indeg = []
-        consumers: dict[int, list] = {}
+        rep_level: dict[int, int] = {}
+        consumers_of_rep: dict[int, list] = {}
+        remaining: list[set] = []
         for gi, dreps in enumerate(gen_deps):
-            prods = {producer_of[r] for r in dreps
-                     if r in producer_of and producer_of[r] != gi}
-            indeg.append(len(prods))
-            for p in prods:
-                consumers.setdefault(p, []).append(gi)
-        # Kahn with level tracking
+            waiting = {r for r in dreps
+                       if r in producers_of and gi not in producers_of[r]}
+            # deps produced by *other* gens must wait; producer-less deps
+            # (public inputs, never-written wires) are available at level 0
+            remaining.append(waiting)
+            for r in waiting:
+                consumers_of_rep.setdefault(r, []).append(gi)
+            for r in dreps:
+                if r not in producers_of:
+                    rep_level[r] = 0
+
         from collections import deque
-        queue = deque(gi for gi, d in enumerate(indeg) if d == 0)
-        remaining = dict()
-        for gi, dreps in enumerate(gen_deps):
-            prods = {producer_of[r] for r in dreps
-                     if r in producer_of and producer_of[r] != gi}
-            remaining[gi] = set(prods)
+        level = [0] * len(generators)
+        queue = deque(gi for gi, w in enumerate(remaining) if not w)
         processed_set = set()
         while queue:
             gi = queue.popleft()
             if gi in processed_set:
                 continue
             processed_set.add(gi)
-            for c in consumers.get(gi, ()):
-                remaining[c].discard(gi)
-                level[c] = max(level[c], level[gi] + 1)
-                if not remaining[c]:
-                    queue.append(c)
-        # Generators stuck in dependency cycles (e.g. a value both computed
-        # in-circuit and fed back through a copy constraint, which the
-        # reference's dynamic watch-list loop resolves at runtime,
-        # iop/generator.rs:54) fall back to a small dynamic pass.
+            lv = 0
+            for r in gen_deps[gi]:
+                lv = max(lv, rep_level.get(r, 0) + 1)
+            level[gi] = lv
+            for r in gen_outs[gi]:
+                if r not in rep_level:
+                    rep_level[r] = lv
+                    for c in consumers_of_rep.get(r, ()):
+                        remaining[c].discard(r)
+                        if not remaining[c] and c not in processed_set:
+                            queue.append(c)
+        # Generators stuck in genuine dependency cycles fall back to a small
+        # dynamic pass at generate() time.
         self.residual = [gi for gi in range(len(generators))
                          if gi not in processed_set]
         self._residual_specs = [(generators[gi], gen_deps[gi], gen_outs[gi])
                                 for gi in self.residual]
+        leveled_outs = {r for gi in processed_set for r in gen_outs[gi]}
         residual_outs = {r for gi in self.residual for r in gen_outs[gi]}
-        self._residual_out_reps = residual_outs
+        self._residual_out_reps = residual_outs - leveled_outs
 
         # --- group by (level, kind, arity, static params) ---
         residual_set = set(self.residual)

@@ -44,3 +44,9 @@ def reverse_index_bits(arr: np.ndarray, axis: int = -1) -> np.ndarray:
     """Apply the bit-reversal permutation along an axis (host numpy)."""
     n = arr.shape[axis]
     return np.take(arr, reverse_index_bits_perm(n), axis=axis)
+
+
+def reverse_index_bits_list(items: list) -> list:
+    """Bit-reversal permutation of a python list (e.g. of circuit targets)."""
+    perm = reverse_index_bits_perm(len(items))
+    return [items[i] for i in perm]
