@@ -109,30 +109,33 @@ def _mds(lo, hi):
 
 def _rounds(lo, hi, rc_lo, rc_hi):
     """All 30 rounds on (12, B) limb arrays; rc_*: (12, 30).  Plain jnp —
-    runs inside the Pallas kernel on TPU and standalone for CPU testing."""
+    runs inside the Pallas kernel on TPU and standalone for CPU testing.
+    Rounds run under lax.fori_loop (round constants dynamically sliced) to
+    keep the traced graph ~30x smaller; rounds are serial anyway."""
     def add_rc(lo, hi, r):
-        return _fadd(lo, hi, jnp.broadcast_to(rc_lo[:, r:r + 1], lo.shape),
-                     jnp.broadcast_to(rc_hi[:, r:r + 1], hi.shape))
+        rl = jax.lax.dynamic_slice(rc_lo, (0, r), (WIDTH, 1))
+        rh = jax.lax.dynamic_slice(rc_hi, (0, r), (WIDTH, 1))
+        return _fadd(lo, hi, jnp.broadcast_to(rl, lo.shape),
+                     jnp.broadcast_to(rh, hi.shape))
 
-    r = 0
-    for _ in range(C.HALF_N_FULL_ROUNDS):
+    def full_round(r, carry):
+        lo, hi = carry
         lo, hi = add_rc(lo, hi, r)
         lo, hi = _sbox(lo, hi)
-        lo, hi = _mds(lo, hi)
-        r += 1
-    for _ in range(C.N_PARTIAL_ROUNDS):
+        return _mds(lo, hi)
+
+    def partial_round(r, carry):
+        lo, hi = carry
         lo, hi = add_rc(lo, hi, r)
-        # S-box on row 0 only
         s0lo, s0hi = _sbox(lo[0:1, :], hi[0:1, :])
         lo = jnp.concatenate([s0lo, lo[1:, :]], axis=0)
         hi = jnp.concatenate([s0hi, hi[1:, :]], axis=0)
-        lo, hi = _mds(lo, hi)
-        r += 1
-    for _ in range(C.HALF_N_FULL_ROUNDS):
-        lo, hi = add_rc(lo, hi, r)
-        lo, hi = _sbox(lo, hi)
-        lo, hi = _mds(lo, hi)
-        r += 1
+        return _mds(lo, hi)
+
+    hf, npart = C.HALF_N_FULL_ROUNDS, C.N_PARTIAL_ROUNDS
+    lo, hi = jax.lax.fori_loop(0, hf, full_round, (lo, hi))
+    lo, hi = jax.lax.fori_loop(hf, hf + npart, partial_round, (lo, hi))
+    lo, hi = jax.lax.fori_loop(hf + npart, C.N_ROUNDS, full_round, (lo, hi))
     return lo, hi
 
 

@@ -22,12 +22,22 @@ from .circuit_data import (CircuitData, CommonCircuitData, ProverOnlyCircuitData
 from .config import CircuitConfig
 from .gates.arithmetic import ArithmeticGate
 from .gates.base import GeneratorSpec
+from .gates.lookup import (LookupGate, LookupTableGate,
+                           lookup_output_generator, multiplicity_generator)
 from .gates.poseidon_gate import WIDTH, PoseidonGate
 from .gates.simple import ConstantGate, NoopGate, PublicInputGate
 from .gadgets import BuilderGadgets
 from .witness import WitnessSchedule
 
 UNUSED_SELECTOR = (1 << 32) - 1
+
+# Lookup challenge roles within each 4-delta group (circuit_builder.rs:66).
+NUM_COINS_LOOKUP = 4
+CHALLENGE_A, CHALLENGE_B, CHALLENGE_ALPHA, CHALLENGE_DELTA = 0, 1, 2, 3
+
+# Lookup selector indices (gates/selectors.rs:34).
+LOOKUP_TRANS_SRE, LOOKUP_TRANS_LDC, LOOKUP_INIT_SRE, LOOKUP_LAST_LDC, \
+    LOOKUP_START_END = 0, 1, 2, 3, 4
 
 
 class CircuitBuilder(BuilderGadgets):
@@ -45,6 +55,10 @@ class CircuitBuilder(BuilderGadgets):
         self.current_slots: dict = {}  # (gate_id, params) -> (row, op)
         self.base_arithmetic_results: dict = {}
         self.suppressed_gate_generators: set = set()
+        # lookups (gadgets/lookup.rs:48-77)
+        self.luts: list = []  # of tuple of (u16 in, u16 out) pairs
+        self.lut_to_lookups: list = []  # per LUT: [(looking_in, looking_out)]
+        self.lookup_rows: list = []  # (last_lu_gate, last_lut_gate, first_lut_gate)
 
     # -- targets ------------------------------------------------------------
     def add_virtual_target(self) -> int:
@@ -207,11 +221,120 @@ class CircuitBuilder(BuilderGadgets):
     def hash_n_to_hash_no_pad(self, inputs: list) -> list:
         return self.hash_n_to_m_no_pad(inputs, 4)
 
+    # -- lookups (gadgets/lookup.rs:48-123) ----------------------------------
+    def add_lookup_table_from_pairs(self, pairs) -> int:
+        table = tuple((int(a) & 0xFFFF, int(b) & 0xFFFF) for a, b in pairs)
+        assert table, "empty lookup table"
+        for i, existing in enumerate(self.luts):
+            if existing == table:
+                return i
+        self.luts.append(table)
+        self.lut_to_lookups.append([])
+        return len(self.luts) - 1
+
+    def add_lookup_table_from_table(self, inps, outs) -> int:
+        return self.add_lookup_table_from_pairs(zip(inps, outs))
+
+    def add_lookup_table_from_fn(self, f, inputs) -> int:
+        return self.add_lookup_table_from_pairs((i, f(i)) for i in inputs)
+
+    def add_lookup_from_index(self, looking_in: int, lut_index: int) -> int:
+        assert 0 <= lut_index < len(self.luts), f"no LUT {lut_index}"
+        looking_out = self.add_virtual_target()
+        self.lut_to_lookups[lut_index].append((looking_in, looking_out))
+        return looking_out
+
+    def _add_all_lookups(self) -> None:
+        """Place LookupGate/LookupTableGate rows for every LUT
+        (gadgets/lookup.rs:77-123).  Rows are deliberately 'upside down':
+        lookup rows first, then table rows, then one NoopGate so the
+        transition constraints read zeros past the end."""
+        for lut_index, lut in enumerate(self.luts):
+            lookups = self.lut_to_lookups[lut_index]
+            assert lookups, f"LUT {lut_index} is unused"
+            table_map = {}
+            for a, b in lut:
+                table_map.setdefault(a, b)
+
+            last_lu_gate = self.num_gates()
+            num_lu_slots = LookupGate.slots_from_config(self.config)
+            for looking_in, looking_out in lookups:
+                gate = LookupGate.new_from_config(self.config, lut_index)
+                row, i = self.find_slot(gate, ("lu", lut_index), [])
+                self.connect(looking_in,
+                             tg.wire(row, gate.wire_ith_looking_inp(i)))
+                self.connect(looking_out,
+                             tg.wire(row, gate.wire_ith_looking_out(i)))
+                self.add_simple_generator(
+                    lookup_output_generator(row, i, looking_in, table_map))
+            # pad the final partially-filled row with the first LUT entry
+            # (reference plonk/prover.rs:70-85 does this at proving time)
+            pad_count = (num_lu_slots - len(lookups) % num_lu_slots) % num_lu_slots
+            if pad_count:
+                row = self.num_gates() - 1
+                for s in range(num_lu_slots - pad_count, num_lu_slots):
+                    self.add_simple_generator(GeneratorSpec(
+                        "constant", deps=[],
+                        outs=[tg.wire(row, LookupGate.wire_ith_looking_inp(s))],
+                        params=(lut[0][0],)))
+                    self.add_simple_generator(GeneratorSpec(
+                        "constant", deps=[],
+                        outs=[tg.wire(row, LookupGate.wire_ith_looking_out(s))],
+                        params=(lut[0][1],)))
+                self.current_slots.pop((LookupGate(num_lu_slots, lut_index).id(),
+                                        ("lu", lut_index)), None)
+
+            last_lut_gate = self.num_gates()
+            num_lut_slots = LookupTableGate.slots_from_config(self.config)
+            num_lut_rows = -(-len(lut) // num_lut_slots)
+            for _ in range(num_lut_slots * num_lut_rows):
+                gate = LookupTableGate(num_lut_slots, lut_index, last_lut_gate)
+                self.find_slot(gate, ("lut", lut_index), [])
+            first_lut_gate = self.num_gates() - 1
+
+            # entry e lives at row first_lut_gate - e // slots, slot e % slots
+            # (rows upside down, lookup_table.rs generator); fill cells and
+            # collect multiplicity wires in entry order
+            mult_wires = []
+            for e, (a, b) in enumerate(lut):
+                row = first_lut_gate - e // num_lut_slots
+                s = e % num_lut_slots
+                self.add_simple_generator(GeneratorSpec(
+                    "constant", deps=[],
+                    outs=[tg.wire(row, LookupTableGate.wire_ith_looked_inp(s))],
+                    params=(a,)))
+                self.add_simple_generator(GeneratorSpec(
+                    "constant", deps=[],
+                    outs=[tg.wire(row, LookupTableGate.wire_ith_looked_out(s))],
+                    params=(b,)))
+                mult_wires.append(
+                    tg.wire(row, LookupTableGate.wire_ith_multiplicity(s)))
+            self.add_simple_generator(multiplicity_generator(
+                [lin for lin, _ in lookups], list(lut), mult_wires, pad_count))
+
+            self.add_gate(NoopGate(), [])
+            self.lookup_rows.append((last_lu_gate, last_lut_gate, first_lut_gate))
+
+    def _lookup_selector_values(self, n: int) -> np.ndarray:
+        """Lookup selector polynomials (gates/selectors.rs:49-97): 4 shared
+        indicator columns + one StartEnd column per LUT."""
+        num_shared = LOOKUP_START_END
+        polys = np.zeros((num_shared + len(self.lookup_rows), n), dtype=np.uint64)
+        for i, (last_lu, last_lut, first_lut) in enumerate(self.lookup_rows):
+            polys[LOOKUP_TRANS_SRE, last_lut:first_lut + 1] = 1
+            polys[LOOKUP_TRANS_LDC, last_lu:last_lut] = 1
+            polys[LOOKUP_INIT_SRE, first_lut + 1] = 1
+            polys[LOOKUP_LAST_LDC, last_lu] = 1
+            polys[num_shared + i, last_lut] = 1
+        return polys
+
     # -- build ------------------------------------------------------------
     def build(self) -> CircuitData:
         config = self.config
         rate_bits = config.fri_config.rate_bits
         cap_height = config.fri_config.cap_height
+
+        self._add_all_lookups()
 
         num_public_inputs = len(self.public_inputs)
         pis_hash_t = self.hash_n_to_hash_no_pad(list(self.public_inputs))
@@ -253,12 +376,22 @@ class CircuitBuilder(BuilderGadgets):
         selector_values, selectors_info = self._selector_polynomials(
             gates, quotient_degree_factor + 1)
 
+        # lookup selector columns between gate selectors and gate constants
+        # (circuit_builder.rs:988-1004)
+        if self.luts:
+            lookup_selector_values = self._lookup_selector_values(degree)
+            num_lookup_selectors = lookup_selector_values.shape[0]
+        else:
+            lookup_selector_values = np.zeros((0, degree), dtype=np.uint64)
+            num_lookup_selectors = 0
+
         # constants columns from gate instances
         constant_cols = np.zeros((config.num_constants, degree), dtype=np.uint64)
         for row, (gate, consts) in enumerate(self.gate_instances):
             for j, c in enumerate(consts[:config.num_constants]):
                 constant_cols[j, row] = c % gl64.ORDER_INT
-        constant_vecs = np.concatenate([selector_values, constant_cols], axis=0)
+        constant_vecs = np.concatenate(
+            [selector_values, lookup_selector_values, constant_cols], axis=0)
         num_constants = constant_vecs.shape[0]
 
         subgroup = gl64.two_adic_subgroup(degree_bits)
@@ -298,6 +431,14 @@ class CircuitBuilder(BuilderGadgets):
         num_gate_constraints = max(g.num_constraints() for g in gates)
         num_partial_products = -(-config.num_routed_wires // quotient_degree_factor) - 1
 
+        # lookup poly count per challenge: RE + partial SLDCs
+        # (circuit_builder.rs:1080)
+        if self.luts:
+            num_lu_slots = LookupGate.slots_from_config(config)
+            num_lookup_polys = 1 + -(-num_lu_slots // (quotient_degree_factor - 1))
+        else:
+            num_lookup_polys = 0
+
         common = CommonCircuitData(
             config=config, fri_params=fri_params, gates=gates,
             selectors_info=selectors_info,
@@ -305,7 +446,10 @@ class CircuitBuilder(BuilderGadgets):
             num_gate_constraints=num_gate_constraints,
             num_constants=num_constants,
             num_public_inputs=num_public_inputs,
-            k_is=k_is, num_partial_products=num_partial_products)
+            k_is=k_is, num_partial_products=num_partial_products,
+            num_lookup_polys=num_lookup_polys,
+            num_lookup_selectors=num_lookup_selectors,
+            luts=list(self.luts))
 
         # per-row sigma values for the prover: (degree, num_routed)
         sigmas_rows = sigma_vecs.T.copy()
@@ -315,7 +459,8 @@ class CircuitBuilder(BuilderGadgets):
             constants_sigmas_commitment=constants_sigmas_commitment,
             sigmas=sigmas_rows, subgroup=subgroup,
             public_inputs=self.public_inputs,
-            circuit_digest=circuit_digest)
+            circuit_digest=circuit_digest,
+            lookup_rows=list(self.lookup_rows))
         verifier_only = VerifierOnlyCircuitData(
             constants_sigmas_cap=cap, circuit_digest=circuit_digest)
         return CircuitData(prover_only, verifier_only, common)

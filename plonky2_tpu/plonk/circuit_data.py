@@ -30,7 +30,8 @@ class CommonCircuitData:
                  selectors_info: SelectorsInfo, quotient_degree_factor: int,
                  num_gate_constraints: int, num_constants: int,
                  num_public_inputs: int, k_is: np.ndarray,
-                 num_partial_products: int):
+                 num_partial_products: int, num_lookup_polys: int = 0,
+                 num_lookup_selectors: int = 0, luts: list | None = None):
         self.config = config
         self.fri_params = fri_params
         self.gates = gates
@@ -41,6 +42,15 @@ class CommonCircuitData:
         self.num_public_inputs = num_public_inputs
         self.k_is = k_is
         self.num_partial_products = num_partial_products
+        self.num_lookup_polys = num_lookup_polys
+        self.num_lookup_selectors = num_lookup_selectors
+        self.luts = luts or []
+
+    def has_lookup(self) -> bool:
+        return self.num_lookup_polys != 0
+
+    def num_all_lookup_polys(self) -> int:
+        return self.config.num_challenges * self.num_lookup_polys
 
     def degree_bits(self) -> int:
         return self.fri_params.degree_bits
@@ -81,9 +91,17 @@ class CommonCircuitData:
         return [
             FriOracleInfo(self.num_preprocessed_polys(), False),
             FriOracleInfo(self.config.num_wires, self.config.zero_knowledge),
-            FriOracleInfo(self.num_zs_partial_products_polys(), self.config.zero_knowledge),
+            FriOracleInfo(self.num_zs_partial_products_polys()
+                          + self.num_all_lookup_polys(),
+                          self.config.zero_knowledge),
             FriOracleInfo(self.num_quotient_polys(), self.config.zero_knowledge),
         ]
+
+    def fri_lookup_polys(self) -> list:
+        start = self.num_zs_partial_products_polys()
+        return FriPolynomialInfo.from_range(
+            PlonkOracle.ZS_PARTIAL_PRODUCTS, start,
+            start + self.num_all_lookup_polys())
 
     def fri_all_polys(self) -> list:
         return (
@@ -94,11 +112,16 @@ class CommonCircuitData:
                                            self.num_zs_partial_products_polys())
             + FriPolynomialInfo.from_range(PlonkOracle.QUOTIENT, 0,
                                            self.num_quotient_polys())
+            + self.fri_lookup_polys()
         )
 
     def fri_zs_polys(self) -> list:
         return FriPolynomialInfo.from_range(PlonkOracle.ZS_PARTIAL_PRODUCTS,
                                             self.zs_range().start, self.zs_range().stop)
+
+    def fri_next_batch_polys(self) -> list:
+        """Polys opened at zeta AND g*zeta (circuit_data.rs:566)."""
+        return self.fri_zs_polys() + self.fri_lookup_polys()
 
     def get_fri_instance(self, zeta: np.ndarray) -> FriInstanceInfo:
         """zeta: (2,) extension point (circuit_data.rs:461)."""
@@ -109,7 +132,8 @@ class CommonCircuitData:
             batches=[
                 FriBatchInfo(point=np.asarray(zeta, dtype=np.uint64),
                              polynomials=self.fri_all_polys()),
-                FriBatchInfo(point=zeta_next, polynomials=self.fri_zs_polys()),
+                FriBatchInfo(point=zeta_next,
+                             polynomials=self.fri_next_batch_polys()),
             ],
         )
 
@@ -122,6 +146,7 @@ class ProverOnlyCircuitData:
     subgroup: np.ndarray  # (degree,)
     public_inputs: list  # targets
     circuit_digest: np.ndarray  # (4,)
+    lookup_rows: list = None  # (last_lu, last_lut, first_lut) per LUT
 
 
 @dataclass

@@ -22,15 +22,25 @@ class OpeningSet:
     plonk_zs_next: np.ndarray
     partial_products: np.ndarray
     quotient_polys: np.ndarray
+    lookup_zs: np.ndarray = None
+    lookup_zs_next: np.ndarray = None
+
+    def __post_init__(self):
+        if self.lookup_zs is None:
+            self.lookup_zs = np.zeros((0, 2), dtype=np.uint64)
+        if self.lookup_zs_next is None:
+            self.lookup_zs_next = np.zeros((0, 2), dtype=np.uint64)
 
     def to_fri_openings(self) -> FriOpenings:
         """Batch order (proof.rs:345): constants ++ sigmas ++ wires ++ zs ++
-        partial_products ++ quotient at zeta; zs at g*zeta."""
+        partial_products ++ quotient ++ lookup_zs at zeta; zs ++ lookup_zs
+        at g*zeta."""
         zeta_batch = FriOpeningBatch(values=np.concatenate([
             self.constants, self.plonk_sigmas, self.wires, self.plonk_zs,
-            self.partial_products, self.quotient_polys,
+            self.partial_products, self.quotient_polys, self.lookup_zs,
         ]))
-        zeta_next_batch = FriOpeningBatch(values=self.plonk_zs_next)
+        zeta_next_batch = FriOpeningBatch(values=np.concatenate(
+            [self.plonk_zs_next, self.lookup_zs_next]))
         return FriOpenings(batches=[zeta_batch, zeta_next_batch])
 
 
@@ -56,3 +66,4 @@ class ProofChallenges:
     plonk_alphas: np.ndarray
     plonk_zeta: np.ndarray  # (2,)
     fri_challenges: FriChallenges
+    plonk_deltas: np.ndarray = None  # (4*nc,) when lookups are present

@@ -58,9 +58,23 @@ def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
     betas = challenger.get_n_challenges(num_challenges)
     gammas = challenger.get_n_challenges(num_challenges)
 
+    # lookup deltas: 4 coins per challenge, reusing betas/gammas as the
+    # first 2*nc (reference plonk/get_challenges.rs:54-65)
+    has_lookup = common.has_lookup()
+    if has_lookup:
+        extra = challenger.get_n_challenges(2 * num_challenges)
+        deltas = np.concatenate([betas, gammas, extra])
+    else:
+        deltas = np.zeros(0, dtype=np.uint64)
+
     # 3. partial products + Z polys (device, prefix products over rows)
     zs_partial_products = _all_partial_products_and_zs(
         wires_matrix, betas, gammas, prover_data, common)
+    if has_lookup:
+        lookup_polys = _compute_all_lookup_polys(wires_matrix, deltas,
+                                                 prover_data, common)
+        zs_partial_products = GF.concatenate(
+            [zs_partial_products, GF.from_u64(lookup_polys)], axis=0)
     pp_commitment = PolynomialBatch.from_values(
         zs_partial_products, rate_bits, False, cap_height)
     challenger.observe_cap(pp_commitment.merkle_tree.cap)
@@ -70,7 +84,7 @@ def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
     # 4. quotient polynomials
     quotient_chunks = _compute_quotient_polys(
         common, prover_data, public_inputs_hash, wires_commitment,
-        pp_commitment, betas, gammas, alphas)
+        pp_commitment, betas, gammas, alphas, deltas)
     quotient_commitment = PolynomialBatch.from_coeffs(
         quotient_chunks, rate_bits, False, cap_height)
     challenger.observe_cap(quotient_commitment.merkle_tree.cap)
@@ -153,6 +167,92 @@ def _all_partial_products_and_zs(wires_matrix: np.ndarray, betas, gammas,
     return GF.stack(zs + partials, axis=0)
 
 
+def _compute_all_lookup_polys(wires_matrix: np.ndarray, deltas: np.ndarray,
+                              prover_data, common) -> np.ndarray:
+    """(num_challenges * num_lookup_polys, n) u64: per challenge, RE then the
+    partial SLDC columns (reference plonk/prover.rs:425-545)."""
+    nc = common.config.num_challenges
+    out = [
+        _compute_lookup_polys(wires_matrix,
+                              deltas[4 * i:4 * (i + 1)], prover_data, common)
+        for i in range(nc)
+    ]
+    return np.concatenate(out, axis=0)
+
+
+def _compute_lookup_polys(wires_matrix: np.ndarray, deltas4: np.ndarray,
+                          prover_data, common) -> np.ndarray:
+    from .gates.lookup import LookupGate, LookupTableGate
+
+    n = common.degree()
+    num_lu_slots = LookupGate.slots_from_config(common.config)
+    lu_degree = common.quotient_degree_factor - 1
+    num_partial = -(-num_lu_slots // lu_degree)
+    num_lut_slots = LookupTableGate.slots_from_config(common.config)
+    lut_degree = -(-num_lut_slots // num_partial)
+
+    d_a, d_b, d_alpha, d_delta = (np.uint64(deltas4[i]) for i in range(4))
+    polys = np.zeros((num_partial + 1, n), dtype=np.uint64)
+
+    for (last_lu, last_lut, first_lut) in prover_data.lookup_rows:
+        # --- LUT region: RE + partial Sums, rows descending ---
+        rows = np.arange(last_lut, first_lut + 1)
+        inp = wires_matrix[
+            [LookupTableGate.wire_ith_looked_inp(s) for s in range(num_lut_slots)]
+        ][:, rows]  # (S, R)
+        outp = wires_matrix[
+            [LookupTableGate.wire_ith_looked_out(s) for s in range(num_lut_slots)]
+        ][:, rows]
+        mult = wires_matrix[
+            [LookupTableGate.wire_ith_multiplicity(s) for s in range(num_lut_slots)]
+        ][:, rows]
+        looked_combos = gl64.add(inp, gl64.mul(d_a, outp))      # (S, R)
+        lookup_combos = gl64.add(inp, gl64.mul(d_b, outp))
+        inv_alpha_minus = gl64.batch_inv(gl64.sub(d_alpha, looked_combos))
+        weighted = gl64.mul(mult, inv_alpha_minus)              # (S, R)
+
+        # per-row partial sums for each SLDC slot group
+        slot_sums = np.zeros((num_partial, len(rows)), dtype=np.uint64)
+        for p in range(num_partial):
+            for s in range(p * lut_degree,
+                           min((p + 1) * lut_degree, num_lut_slots)):
+                slot_sums[p] = gl64.add(slot_sums[p], weighted[s])
+
+        for row in range(first_lut, last_lut - 1, -1):
+            ri = row - last_lut
+            new_re = polys[0][row + 1] if row + 1 < n else np.uint64(0)
+            for s in range(num_lut_slots):
+                new_re = gl64.add(gl64.mul(new_re, d_delta), lookup_combos[s, ri])
+            polys[0][row] = new_re
+            for p in range(num_partial):
+                prev = polys[num_partial][row + 1] if p == 0 else polys[p][row]
+                polys[p + 1][row] = gl64.add(prev, slot_sums[p, ri])
+
+        # --- LU region: partial LDCs, rows descending ---
+        rows = np.arange(last_lu, last_lut)
+        if len(rows):
+            inp = wires_matrix[
+                [LookupGate.wire_ith_looking_inp(s) for s in range(num_lu_slots)]
+            ][:, rows]
+            outp = wires_matrix[
+                [LookupGate.wire_ith_looking_out(s) for s in range(num_lu_slots)]
+            ][:, rows]
+            looking_combos = gl64.add(inp, gl64.mul(d_a, outp))
+            inv_looking = gl64.batch_inv(gl64.sub(d_alpha, looking_combos))
+            slot_sums = np.zeros((num_partial, len(rows)), dtype=np.uint64)
+            for p in range(num_partial):
+                for s in range(p * lu_degree,
+                               min((p + 1) * lu_degree, num_lu_slots)):
+                    slot_sums[p] = gl64.add(slot_sums[p], inv_looking[s])
+            for row in range(last_lut - 1, last_lu - 1, -1):
+                ri = row - last_lu
+                for p in range(num_partial):
+                    prev = polys[num_partial][row + 1] if p == 0 else polys[p][row]
+                    polys[p + 1][row] = gl64.sub(prev, slot_sums[p, ri])
+
+    return polys
+
+
 def _exclusive_prefix_product(v: GF) -> GF:
     """[1, v0, v0 v1, ...] — Hillis-Steele inclusive scan, shifted."""
     n = v.shape[0]
@@ -167,7 +267,7 @@ def _exclusive_prefix_product(v: GF) -> GF:
 
 def _compute_quotient_polys(common, prover_data, public_inputs_hash,
                             wires_commitment, pp_commitment, betas, gammas,
-                            alphas) -> GF:
+                            alphas, deltas=None) -> GF:
     """Evaluate the vanishing polynomial over the whole quotient coset,
     divide by Z_H, and return quotient chunks (num_ch*deg_factor, n) coeffs."""
     n = common.degree()
@@ -195,6 +295,10 @@ def _compute_quotient_polys(common, prover_data, public_inputs_hash,
     local_zs = [pps[i] for i in range(nc)]
     next_zs = [pps_next[i] for i in range(nc)]
     partial_products = [pps[i] for i in common.partial_products_range()]
+    lk_start = common.num_zs_partial_products_polys()
+    lk_stop = lk_start + common.num_all_lookup_polys()
+    local_lookup_zs = [pps[i] for i in range(lk_start, lk_stop)]
+    next_lookup_zs = [pps_next[i] for i in range(lk_start, lk_stop)]
 
     ctx = BaseBatchCtx()
     pis_hash = [GF.full((), int(h)) for h in public_inputs_hash]
@@ -212,7 +316,8 @@ def _compute_quotient_polys(common, prover_data, public_inputs_hash,
                     public_inputs_hash=pis_hash)
     vanishing = eval_vanishing_poly(
         ctx, common, xs, vars, local_zs, next_zs, partial_products, s_sigmas,
-        betas, gammas, alphas, l_0)
+        betas, gammas, alphas, l_0, local_lookup_zs=local_lookup_zs,
+        next_lookup_zs=next_lookup_zs, deltas=deltas)
 
     zh_inv_tiled = GF.from_u64(np.tile(gl64.batch_inv(zh), n))
     quotient_values = GF.stack([v * zh_inv_tiled for v in vanishing], axis=0)
@@ -248,11 +353,17 @@ def _opening_set(zeta_np, constants_sigmas_commitment, wires_commitment,
     zpow = powers_ext(zeta, n)
     zgpow = powers_ext(zeta_g, n)
 
+    nc = common.config.num_challenges
+    num_zs_pp = common.num_zs_partial_products_polys()
     cs_eval = eval_polys_at_ext(constants_sigmas_commitment.polynomials, zpow).to_u64()
     wires_eval = eval_polys_at_ext(wires_commitment.polynomials, zpow).to_u64()
     pp_eval = eval_polys_at_ext(pp_commitment.polynomials, zpow).to_u64()
+    # at g*zeta: Zs and (if any) lookup polys (proof.rs:327)
     pp_next_eval = eval_polys_at_ext(
-        pp_commitment.polynomials[: common.config.num_challenges], zgpow).to_u64()
+        pp_commitment.polynomials[:nc], zgpow).to_u64()
+    lookup_next_eval = eval_polys_at_ext(
+        pp_commitment.polynomials[num_zs_pp:], zgpow).to_u64() \
+        if common.has_lookup() else np.zeros((0, 2), dtype=np.uint64)
     quot_eval = eval_polys_at_ext(quotient_commitment.polynomials, zpow).to_u64()
 
     cr = common.constants_range()
@@ -261,8 +372,10 @@ def _opening_set(zeta_np, constants_sigmas_commitment, wires_commitment,
         constants=cs_eval[cr.start:cr.stop],
         plonk_sigmas=cs_eval[sr.start:sr.stop],
         wires=wires_eval,
-        plonk_zs=pp_eval[: common.config.num_challenges],
+        plonk_zs=pp_eval[:nc],
         plonk_zs_next=pp_next_eval,
-        partial_products=pp_eval[common.config.num_challenges:],
+        partial_products=pp_eval[nc:num_zs_pp],
         quotient_polys=quot_eval,
+        lookup_zs=pp_eval[num_zs_pp:],
+        lookup_zs_next=lookup_next_eval,
     )

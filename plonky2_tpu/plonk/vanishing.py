@@ -46,6 +46,7 @@ def compute_filter(ctx, row: int, group: range, s, many_selectors: bool):
 def evaluate_gate_constraints(ctx, common, vars: EvalVars) -> list:
     """Filtered sum of all gate constraints (vanishing_poly.rs:675)."""
     num_selectors = common.selectors_info.num_selectors()
+    num_lookup_selectors = getattr(common, "num_lookup_selectors", 0)
     constraints = [None] * common.num_gate_constraints
     for i, gate in enumerate(common.gates):
         sel_idx = common.selectors_info.selector_indices[i]
@@ -53,7 +54,8 @@ def evaluate_gate_constraints(ctx, common, vars: EvalVars) -> list:
         filt = compute_filter(ctx, i, group, vars.local_constants[sel_idx],
                               num_selectors > 1)
         inner_vars = EvalVars(
-            local_constants=vars.local_constants[num_selectors:],
+            local_constants=vars.local_constants[num_selectors
+                                                 + num_lookup_selectors:],
             local_wires=vars.local_wires,
             public_inputs_hash=vars.public_inputs_hash,
         )
@@ -82,9 +84,125 @@ def check_partial_products(numerators, denominators, partials, z_x, z_gx,
     return out
 
 
+def get_lut_poly_eval(ctx, common, lut_index: int, b, delta, degree: int):
+    """Evaluate the LUT's fingerprint polynomial at delta
+    (vanishing_poly.rs:31 get_lut_poly + eval): Horner over padded entries in
+    entry order, each coefficient (in_i + b * out_i)."""
+    lut = common.luts[lut_index]
+    acc = ctx.zero()
+    for i in range(degree):
+        if i < len(lut):
+            a_c, o_c = lut[i]
+            coeff = ctx.constant(a_c) + b * ctx.constant(o_c)
+        else:
+            coeff = ctx.zero()
+        acc = acc * delta + coeff
+    return acc
+
+
+def check_lookup_constraints(ctx, common, vars: EvalVars, local_lookup_zs,
+                             next_lookup_zs, lookup_selectors, deltas) -> list:
+    """logUp constraint checks (vanishing_poly.rs:330-505).
+
+    RE checks LUT well-formation; the SLDC columns carry partial Sum
+    (multiplicity-weighted) then partial LDC (looking) running sums, sharing
+    storage so the final constraint is simply SLDC(end) = 0."""
+    from .gates.lookup import LookupGate, LookupTableGate
+
+    num_lu_slots = LookupGate.slots_from_config(common.config)
+    num_lut_slots = LookupTableGate.slots_from_config(common.config)
+    lu_degree = common.quotient_degree_factor - 1
+    num_sldc = common.num_lookup_polys - 1
+    lut_degree = -(-num_lut_slots // num_sldc)
+
+    delta_a = deltas[0]
+    delta_b = deltas[1]
+    delta_alpha = deltas[2]
+    delta_delta = deltas[3]
+
+    z_re = local_lookup_zs[0]
+    next_z_re = next_lookup_zs[0]
+    z_sldc = local_lookup_zs[1:]
+    z_next_sldc = next_lookup_zs[1:]
+
+    w = vars.local_wires
+    looked_combos = [w[LookupTableGate.wire_ith_looked_inp(s)]
+                     + delta_a * w[LookupTableGate.wire_ith_looked_out(s)]
+                     for s in range(num_lut_slots)]
+    looking_combos = [w[LookupGate.wire_ith_looking_inp(s)]
+                      + delta_a * w[LookupGate.wire_ith_looking_out(s)]
+                      for s in range(num_lu_slots)]
+    lookup_combos = [w[LookupTableGate.wire_ith_looked_inp(s)]
+                     + delta_b * w[LookupTableGate.wire_ith_looked_out(s)]
+                     for s in range(num_lut_slots)]
+
+    constraints = []
+    # last LDC value must be 0; initial Sum and RE must be 0
+    constraints.append(lookup_selectors[3] * z_sldc[num_sldc - 1])
+    constraints.append(lookup_selectors[2] * z_sldc[0])
+    constraints.append(lookup_selectors[2] * z_re)
+
+    # final RE value must equal the LUT fingerprint, per LUT
+    num_shared = 4
+    for r in range(num_shared, common.num_lookup_selectors):
+        lut_index = r - num_shared
+        lut_rows = -(-len(common.luts[lut_index]) // num_lut_slots)
+        fingerprint = get_lut_poly_eval(ctx, common, lut_index, delta_b,
+                                        delta_delta, num_lut_slots * lut_rows)
+        constraints.append(lookup_selectors[r] * (z_re - fingerprint))
+
+    # RE row transition
+    cur_sum = next_z_re
+    for elt in lookup_combos:
+        cur_sum = cur_sum * delta_delta + elt
+    constraints.append(lookup_selectors[0] * (z_re - cur_sum))
+
+    for poly in range(num_sldc):
+        lut_range = range(poly * lut_degree,
+                          min((poly + 1) * lut_degree, num_lut_slots))
+        lu_range = range(poly * lu_degree,
+                         min((poly + 1) * lu_degree, num_lu_slots))
+
+        lut_terms = [delta_alpha - looked_combos[i] for i in lut_range]
+        lu_terms = [delta_alpha - looking_combos[i] for i in lu_range]
+
+        def prod(terms):
+            acc = None
+            for t in terms:
+                acc = t if acc is None else acc * t
+            return acc if acc is not None else ctx.one()
+
+        lut_prod = prod(lut_terms)
+        lu_prod = prod(lu_terms)
+
+        def sum_prods_excl(terms, weights=None):
+            total = None
+            for i in range(len(terms)):
+                p = prod(terms[:i] + terms[i + 1:])
+                if weights is not None:
+                    p = weights[i] * p
+                total = p if total is None else total + p
+            return total if total is not None else ctx.zero()
+
+        lu_sum_prods = sum_prods_excl(lu_terms)
+        mults = [w[LookupTableGate.wire_ith_multiplicity(i)] for i in lut_range]
+        lut_sum_prods_mul = sum_prods_excl(lut_terms, mults)
+
+        prev = z_next_sldc[num_sldc - 1] if poly == 0 else z_sldc[poly - 1]
+        # Sum transition: lut_prod * (z - prev) = sum_i m_i prod_{j!=i}
+        constraints.append(lookup_selectors[0]
+                           * (lut_prod * (z_sldc[poly] - prev) - lut_sum_prods_mul))
+        # LDC transition: lu_prod * (z - prev) = -sum_i prod_{j!=i}
+        constraints.append(lookup_selectors[1]
+                           * (lu_prod * (z_sldc[poly] - prev) + lu_sum_prods))
+
+    return constraints
+
+
 def eval_vanishing_poly(ctx, common, x, vars: EvalVars, local_zs, next_zs,
                         partial_products, s_sigmas, betas, gammas, alphas,
-                        l_0_x) -> list:
+                        l_0_x, local_lookup_zs=None, next_lookup_zs=None,
+                        deltas=None) -> list:
     """Returns one combined value per alpha challenge.
 
     x: the evaluation point (element); l_0_x: L_0(x) precomputed (element);
@@ -95,16 +213,31 @@ def eval_vanishing_poly(ctx, common, x, vars: EvalVars, local_zs, next_zs,
     max_degree = common.quotient_degree_factor
     num_prods = common.num_partial_products
     num_routed = common.config.num_routed_wires
+    has_lookup = getattr(common, "num_lookup_polys", 0) != 0
 
     constraint_terms = evaluate_gate_constraints(ctx, common, vars)
 
+    if has_lookup:
+        num_selectors = common.selectors_info.num_selectors()
+        lookup_selectors = vars.local_constants[
+            num_selectors:num_selectors + common.num_lookup_selectors]
+
     vanishing_z_1_terms = []
+    vanishing_all_lookup_terms = []
     vanishing_partial_products_terms = []
 
     for i in range(common.config.num_challenges):
         z_x = local_zs[i]
         z_gx = next_zs[i]
         vanishing_z_1_terms.append(l_0_x * (z_x - ctx.one()))
+
+        if has_lookup:
+            nlp = common.num_lookup_polys
+            cur_deltas = [_elem(ctx, d) for d in deltas[4 * i:4 * (i + 1)]]
+            vanishing_all_lookup_terms.extend(check_lookup_constraints(
+                ctx, common, vars, local_lookup_zs[nlp * i:nlp * (i + 1)],
+                next_lookup_zs[nlp * i:nlp * (i + 1)], lookup_selectors,
+                cur_deltas))
 
         beta = _elem(ctx, betas[i])
         gamma = _elem(ctx, gammas[i])
@@ -123,7 +256,8 @@ def eval_vanishing_poly(ctx, common, x, vars: EvalVars, local_zs, next_zs,
             check_partial_products(numerators, denominators, cur_partials,
                                    z_x, z_gx, max_degree))
 
-    terms = vanishing_z_1_terms + vanishing_partial_products_terms + constraint_terms
+    terms = (vanishing_z_1_terms + vanishing_all_lookup_terms
+             + vanishing_partial_products_terms + constraint_terms)
 
     # reduce_with_powers_multi (plonk_common.rs:97): Horner from the last term
     out = []

@@ -31,6 +31,11 @@ def get_challenges(proof_with_pis: ProofWithPublicInputs,
     challenger.observe_cap(proof.wires_cap)
     plonk_betas = challenger.get_n_challenges(nc)
     plonk_gammas = challenger.get_n_challenges(nc)
+    if common.has_lookup():
+        extra = challenger.get_n_challenges(2 * nc)
+        plonk_deltas = np.concatenate([plonk_betas, plonk_gammas, extra])
+    else:
+        plonk_deltas = np.zeros(0, dtype=np.uint64)
     challenger.observe_cap(proof.plonk_zs_partial_products_cap)
     plonk_alphas = challenger.get_n_challenges(nc)
     challenger.observe_cap(proof.quotient_polys_cap)
@@ -43,7 +48,7 @@ def get_challenges(proof_with_pis: ProofWithPublicInputs,
                          proof.opening_proof.pow_witness,
                          common.degree_bits(), common.config.fri_config)
     return ProofChallenges(plonk_betas, plonk_gammas, plonk_alphas,
-                           plonk_zeta, fri)
+                           plonk_zeta, fri, plonk_deltas)
 
 
 def verify(proof_with_pis: ProofWithPublicInputs,
@@ -75,6 +80,8 @@ def verify_with_challenges(proof, public_inputs_hash, challenges: ProofChallenge
     next_zs = [E2(v) for v in openings.plonk_zs_next]
     partial_products = [E2(v) for v in openings.partial_products]
     s_sigmas = [E2(v) for v in openings.plonk_sigmas]
+    local_lookup_zs = [E2(v) for v in openings.lookup_zs]
+    next_lookup_zs = [E2(v) for v in openings.lookup_zs_next]
 
     # L_0(zeta) = (zeta^n - 1) / (n * (zeta - 1))
     zeta_pow_n = zeta.pow_const(n)
@@ -84,7 +91,8 @@ def verify_with_challenges(proof, public_inputs_hash, challenges: ProofChallenge
     vanishing = eval_vanishing_poly(
         ctx, common, zeta, vars, local_zs, next_zs, partial_products, s_sigmas,
         challenges.plonk_betas, challenges.plonk_gammas, challenges.plonk_alphas,
-        l_0)
+        l_0, local_lookup_zs=local_lookup_zs, next_lookup_zs=next_lookup_zs,
+        deltas=challenges.plonk_deltas)
 
     # vanishing_i(zeta) == Z_H(zeta) * reduce(t_chunks_i, zeta^n)
     qdf = common.quotient_degree_factor

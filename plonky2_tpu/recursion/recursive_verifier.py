@@ -40,13 +40,22 @@ class OpeningSetTarget:
     plonk_zs_next: list
     partial_products: list
     quotient_polys: list
+    lookup_zs: list = None
+    lookup_zs_next: list = None
+
+    def __post_init__(self):
+        self.lookup_zs = self.lookup_zs or []
+        self.lookup_zs_next = self.lookup_zs_next or []
 
     def to_fri_openings(self):
         zeta_batch = _Batch(values=(list(self.constants) + list(self.plonk_sigmas)
                                     + list(self.wires) + list(self.plonk_zs)
                                     + list(self.partial_products)
-                                    + list(self.quotient_polys)))
-        return _Openings(batches=[zeta_batch, _Batch(values=list(self.plonk_zs_next))])
+                                    + list(self.quotient_polys)
+                                    + list(self.lookup_zs)))
+        next_batch = _Batch(values=list(self.plonk_zs_next)
+                            + list(self.lookup_zs_next))
+        return _Openings(batches=[zeta_batch, next_batch])
 
 
 @dataclass
@@ -102,11 +111,14 @@ def add_virtual_proof_with_pis(b, common) -> ProofWithPublicInputsTarget:
         partial_products=b.add_virtual_extension_targets(
             config.num_challenges * common.num_partial_products),
         quotient_polys=b.add_virtual_extension_targets(common.num_quotient_polys()),
+        lookup_zs=b.add_virtual_extension_targets(common.num_all_lookup_polys()),
+        lookup_zs_next=b.add_virtual_extension_targets(
+            common.num_all_lookup_polys()),
     )
     num_leaves_per_oracle = [
         common.num_preprocessed_polys(),
         config.num_wires,
-        common.num_zs_partial_products_polys(),
+        common.num_zs_partial_products_polys() + common.num_all_lookup_polys(),
         common.num_quotient_polys(),
     ]
     proof = ProofTarget(
@@ -129,6 +141,7 @@ class ProofChallengesTarget:
     plonk_alphas: list
     plonk_zeta: tuple
     fri_challenges: FriChallengesTarget
+    plonk_deltas: list = None
 
 
 def get_challenges_circuit(b, proof_t: ProofTarget, public_inputs_hash: list,
@@ -140,6 +153,8 @@ def get_challenges_circuit(b, proof_t: ProofTarget, public_inputs_hash: list,
     ch.observe_cap(proof_t.wires_cap)
     plonk_betas = ch.get_n_challenges(nc)
     plonk_gammas = ch.get_n_challenges(nc)
+    plonk_deltas = (plonk_betas + plonk_gammas + ch.get_n_challenges(2 * nc)) \
+        if common.has_lookup() else []
     ch.observe_cap(proof_t.plonk_zs_partial_products_cap)
     plonk_alphas = ch.get_n_challenges(nc)
     ch.observe_cap(proof_t.quotient_polys_cap)
@@ -162,7 +177,8 @@ def get_challenges_circuit(b, proof_t: ProofTarget, public_inputs_hash: list,
 
     return ProofChallengesTarget(
         plonk_betas, plonk_gammas, plonk_alphas, plonk_zeta,
-        FriChallengesTarget(fri_alpha, betas, fri_pow_response, indices))
+        FriChallengesTarget(fri_alpha, betas, fri_pow_response, indices),
+        plonk_deltas)
 
 
 # -- verification ----------------------------------------------------------------
@@ -213,6 +229,9 @@ def _verify_with_challenges(b, proof: ProofTarget, public_inputs_hash: list,
     betas = [ctx.wrap_base(t) for t in challenges.plonk_betas]
     gammas = [ctx.wrap_base(t) for t in challenges.plonk_gammas]
     alphas = [ctx.wrap_base(t) for t in challenges.plonk_alphas]
+    local_lookup_zs = [ctx.wrap(t) for t in openings.lookup_zs]
+    next_lookup_zs = [ctx.wrap(t) for t in openings.lookup_zs_next]
+    deltas = [ctx.wrap_base(t) for t in (challenges.plonk_deltas or [])]
 
     # L_0(zeta) = (zeta^n - 1) / (n * (zeta - 1))
     zeta_pow_deg = b.exp_power_of_2_extension(zeta, common.degree_bits())
@@ -223,7 +242,9 @@ def _verify_with_challenges(b, proof: ProofTarget, public_inputs_hash: list,
 
     vanishing = eval_vanishing_poly(
         ctx, common, zeta_w, vars, local_zs, next_zs, partial_products,
-        s_sigmas, betas, gammas, alphas, ctx.wrap(l_0))
+        s_sigmas, betas, gammas, alphas, ctx.wrap(l_0),
+        local_lookup_zs=local_lookup_zs, next_lookup_zs=next_lookup_zs,
+        deltas=deltas)
 
     # vanishing_i(zeta) == Z_H(zeta) * reduce(t_chunks_i, zeta^n)
     qdf = common.quotient_degree_factor
@@ -284,7 +305,9 @@ def set_proof_with_pis_target(pw: PartialWitness,
                    (ot.wires, ov.wires), (ot.plonk_zs, ov.plonk_zs),
                    (ot.plonk_zs_next, ov.plonk_zs_next),
                    (ot.partial_products, ov.partial_products),
-                   (ot.quotient_polys, ov.quotient_polys)]:
+                   (ot.quotient_polys, ov.quotient_polys),
+                   (ot.lookup_zs, ov.lookup_zs),
+                   (ot.lookup_zs_next, ov.lookup_zs_next)]:
         assert len(ts) == len(vs)
         for t, v in zip(ts, vs):
             _set_ext(pw, t, v)

@@ -1,0 +1,393 @@
+"""Binary serialization of proofs and verifier data (checkpoint/resume).
+
+Twin of reference plonky2/src/util/serialization/mod.rs:80-2192.  Layout
+follows the reference's conventions: little-endian fixed-width integers,
+field elements as canonical u64 LE, hashes as 4 field elements, length-
+prefixed vectors.  Gates are serialized by their `id()` string and rebuilt
+through the registry below (the reference's `impl_gate_serializer!` macro,
+gate_serialization.rs:48, plays the same role).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+import numpy as np
+
+from ..field import gl64
+from ..fri.config import FriConfig, FriParams, FriReductionStrategy
+from ..fri.proof import (FriInitialTreeProof, FriProof, FriQueryRound,
+                         FriQueryStep)
+from ..hash.merkle import MerkleCap, MerkleProof
+from ..plonk.circuit_data import (CommonCircuitData, SelectorsInfo,
+                                  VerifierOnlyCircuitData)
+from ..plonk.config import CircuitConfig
+from ..plonk.proof import OpeningSet, Proof, ProofWithPublicInputs
+
+
+class Buffer:
+    """Byte writer/reader (reference serialization/mod.rs Buffer:2128)."""
+
+    def __init__(self, data: bytes = b""):
+        self.data = bytearray(data)
+        self.pos = 0
+
+    def bytes(self) -> bytes:
+        return bytes(self.data)
+
+    # -- writes ---------------------------------------------------------
+    def write_u8(self, v: int):
+        self.data += struct.pack("<B", v)
+
+    def write_u32(self, v: int):
+        self.data += struct.pack("<I", v)
+
+    def write_usize(self, v: int):
+        self.data += struct.pack("<Q", v)
+
+    def write_bool(self, v: bool):
+        self.write_u8(1 if v else 0)
+
+    def write_field(self, v):
+        self.data += struct.pack("<Q", int(gl64.to_canonical(np.uint64(int(v)))))
+
+    def write_field_vec(self, vs):
+        for v in np.asarray(vs, dtype=np.uint64).reshape(-1):
+            self.write_field(v)
+
+    def write_ext(self, v):
+        self.write_field_vec(np.asarray(v, dtype=np.uint64).reshape(2))
+
+    def write_ext_vec(self, vs):
+        vs = np.asarray(vs, dtype=np.uint64).reshape(-1, 2)
+        self.write_usize(len(vs))
+        for v in vs:
+            self.write_ext(v)
+
+    def write_hash(self, h):
+        self.write_field_vec(np.asarray(h, dtype=np.uint64).reshape(4))
+
+    def write_cap(self, cap: MerkleCap):
+        self.write_usize(cap.data.shape[0])
+        for h in cap.data:
+            self.write_hash(h)
+
+    def write_merkle_proof(self, proof: MerkleProof):
+        self.write_usize(len(proof.siblings))
+        for h in proof.siblings:
+            self.write_hash(h)
+
+    def write_str(self, s: str):
+        b = s.encode("utf-8")
+        self.write_usize(len(b))
+        self.data += b
+
+    # -- reads ----------------------------------------------------------
+    def _take(self, n: int) -> bytes:
+        out = bytes(self.data[self.pos:self.pos + n])
+        assert len(out) == n, "buffer underrun"
+        self.pos += n
+        return out
+
+    def read_u8(self) -> int:
+        return struct.unpack("<B", self._take(1))[0]
+
+    def read_u32(self) -> int:
+        return struct.unpack("<I", self._take(4))[0]
+
+    def read_usize(self) -> int:
+        return struct.unpack("<Q", self._take(8))[0]
+
+    def read_bool(self) -> bool:
+        return self.read_u8() != 0
+
+    def read_field(self) -> np.uint64:
+        return np.uint64(struct.unpack("<Q", self._take(8))[0])
+
+    def read_field_vec(self, n: int) -> np.ndarray:
+        return np.frombuffer(self._take(8 * n), dtype="<u8").astype(np.uint64)
+
+    def read_ext(self) -> np.ndarray:
+        return self.read_field_vec(2)
+
+    def read_ext_vec(self) -> np.ndarray:
+        n = self.read_usize()
+        return self.read_field_vec(2 * n).reshape(n, 2)
+
+    def read_hash(self) -> np.ndarray:
+        return self.read_field_vec(4)
+
+    def read_cap(self) -> MerkleCap:
+        n = self.read_usize()
+        return MerkleCap(self.read_field_vec(4 * n).reshape(n, 4))
+
+    def read_merkle_proof(self) -> MerkleProof:
+        n = self.read_usize()
+        return MerkleProof(self.read_field_vec(4 * n).reshape(n, 4))
+
+    def read_str(self) -> str:
+        n = self.read_usize()
+        return self._take(n).decode("utf-8")
+
+
+# -- proofs -----------------------------------------------------------------
+
+def write_opening_set(buf: Buffer, os_: OpeningSet):
+    for arr in (os_.constants, os_.plonk_sigmas, os_.wires, os_.plonk_zs,
+                os_.plonk_zs_next, os_.partial_products, os_.quotient_polys,
+                os_.lookup_zs, os_.lookup_zs_next):
+        buf.write_ext_vec(arr)
+
+
+def read_opening_set(buf: Buffer) -> OpeningSet:
+    return OpeningSet(*(buf.read_ext_vec() for _ in range(9)))
+
+
+def write_fri_proof(buf: Buffer, fp: FriProof):
+    buf.write_usize(len(fp.commit_phase_merkle_caps))
+    for cap in fp.commit_phase_merkle_caps:
+        buf.write_cap(cap)
+    buf.write_usize(len(fp.query_round_proofs))
+    for q in fp.query_round_proofs:
+        buf.write_usize(len(q.initial_trees_proof.evals_proofs))
+        for leaves, mp in q.initial_trees_proof.evals_proofs:
+            buf.write_usize(len(leaves))
+            buf.write_field_vec(leaves)
+            buf.write_merkle_proof(mp)
+        buf.write_usize(len(q.steps))
+        for s in q.steps:
+            buf.write_ext_vec(s.evals)
+            buf.write_merkle_proof(s.merkle_proof)
+    buf.write_ext_vec(fp.final_poly)
+    buf.write_field(fp.pow_witness)
+
+
+def read_fri_proof(buf: Buffer) -> FriProof:
+    caps = [buf.read_cap() for _ in range(buf.read_usize())]
+    rounds = []
+    for _ in range(buf.read_usize()):
+        evals_proofs = []
+        for _ in range(buf.read_usize()):
+            n = buf.read_usize()
+            leaves = buf.read_field_vec(n)
+            evals_proofs.append((leaves, buf.read_merkle_proof()))
+        steps = [FriQueryStep(buf.read_ext_vec(), buf.read_merkle_proof())
+                 for _ in range(buf.read_usize())]
+        rounds.append(FriQueryRound(FriInitialTreeProof(evals_proofs), steps))
+    final_poly = buf.read_ext_vec()
+    pow_witness = buf.read_field()
+    return FriProof(caps, rounds, final_poly, pow_witness)
+
+
+def write_proof(buf: Buffer, proof: Proof):
+    buf.write_cap(proof.wires_cap)
+    buf.write_cap(proof.plonk_zs_partial_products_cap)
+    buf.write_cap(proof.quotient_polys_cap)
+    write_opening_set(buf, proof.openings)
+    write_fri_proof(buf, proof.opening_proof)
+
+
+def read_proof(buf: Buffer) -> Proof:
+    return Proof(buf.read_cap(), buf.read_cap(), buf.read_cap(),
+                 read_opening_set(buf), read_fri_proof(buf))
+
+
+def proof_with_pis_to_bytes(pwp: ProofWithPublicInputs) -> bytes:
+    buf = Buffer()
+    write_proof(buf, pwp.proof)
+    buf.write_usize(len(pwp.public_inputs))
+    buf.write_field_vec(pwp.public_inputs)
+    return buf.bytes()
+
+
+def proof_with_pis_from_bytes(data: bytes) -> ProofWithPublicInputs:
+    buf = Buffer(data)
+    proof = read_proof(buf)
+    n = buf.read_usize()
+    return ProofWithPublicInputs(proof, buf.read_field_vec(n))
+
+
+# -- gate registry ------------------------------------------------------------
+
+def gate_from_id(gate_id: str):
+    """Rebuild a gate object from its id() string (the registry twin of
+    impl_gate_serializer!, gate_serialization.rs:48)."""
+    from ..plonk.gates.arithmetic import ArithmeticGate
+    from ..plonk.gates.ext_gates import (ArithmeticExtensionGate,
+                                         MulExtensionGate, PoseidonMdsGate,
+                                         ReducingExtensionGate, ReducingGate)
+    from ..plonk.gates.interpolation import CosetInterpolationGate
+    from ..plonk.gates.lookup import LookupGate, LookupTableGate
+    from ..plonk.gates.misc import (BaseSumGate, ExponentiationGate,
+                                    RandomAccessGate)
+    from ..plonk.gates.poseidon_gate import PoseidonGate
+    from ..plonk.gates.simple import ConstantGate, NoopGate, PublicInputGate
+
+    def ints(s):
+        return [int(x) for x in re.findall(r"-?\d+", s)]
+
+    if gate_id.startswith("ArithmeticGate"):
+        return ArithmeticGate(ints(gate_id)[0])
+    if gate_id.startswith("ArithmeticExtensionGate"):
+        return ArithmeticExtensionGate(ints(gate_id)[0])
+    if gate_id.startswith("MulExtensionGate"):
+        return MulExtensionGate(ints(gate_id)[0])
+    if gate_id.startswith("ReducingExtensionGate"):
+        return ReducingExtensionGate(ints(gate_id)[0])
+    if gate_id.startswith("ReducingGate"):
+        return ReducingGate(ints(gate_id)[0])
+    if gate_id.startswith("PoseidonMdsGate"):
+        return PoseidonMdsGate()
+    if gate_id.startswith("PoseidonGate"):
+        return PoseidonGate()
+    if gate_id.startswith("ConstantGate"):
+        return ConstantGate(ints(gate_id)[0])
+    if gate_id.startswith("NoopGate"):
+        return NoopGate()
+    if gate_id.startswith("PublicInputGate"):
+        return PublicInputGate()
+    if gate_id.startswith("BaseSumGate"):
+        n, base = ints(gate_id)[:2]
+        return BaseSumGate(n, base)
+    if gate_id.startswith("ExponentiationGate"):
+        return ExponentiationGate(ints(gate_id)[0])
+    if gate_id.startswith("RandomAccessGate"):
+        bits, copies, extra = ints(gate_id)[:3]
+        return RandomAccessGate(bits, copies, extra)
+    if gate_id.startswith("CosetInterpolationGate"):
+        vals = ints(gate_id)
+        gate = CosetInterpolationGate(vals[0], 1 << vals[0])
+        gate._degree = vals[1]
+        return gate
+    if gate_id.startswith("LookupTableGate"):
+        slots, lut, last_row = ints(gate_id)[:3]
+        return LookupTableGate(slots, lut, last_row)
+    if gate_id.startswith("LookupGate"):
+        slots, lut = ints(gate_id)[:2]
+        return LookupGate(slots, lut)
+    raise ValueError(f"unknown gate id: {gate_id}")
+
+
+# -- circuit data -------------------------------------------------------------
+
+def write_fri_params(buf: Buffer, params: FriParams):
+    cfg = params.config
+    buf.write_u32(cfg.rate_bits)
+    buf.write_u32(cfg.cap_height)
+    buf.write_u32(cfg.proof_of_work_bits)
+    buf.write_str(cfg.reduction_strategy.kind)
+    buf.write_usize(len(cfg.reduction_strategy.arity_bits))
+    for a in cfg.reduction_strategy.arity_bits:
+        buf.write_u32(a)
+    buf.write_u32(cfg.reduction_strategy.final_poly_bits)
+    buf.write_u32(cfg.num_query_rounds)
+    buf.write_bool(params.hiding)
+    buf.write_u32(params.degree_bits)
+    buf.write_usize(len(params.reduction_arity_bits))
+    for a in params.reduction_arity_bits:
+        buf.write_u32(a)
+
+
+def read_fri_params(buf: Buffer) -> FriParams:
+    rate_bits = buf.read_u32()
+    cap_height = buf.read_u32()
+    pow_bits = buf.read_u32()
+    kind = buf.read_str()
+    arity_bits = tuple(buf.read_u32() for _ in range(buf.read_usize()))
+    final_poly_bits = buf.read_u32()
+    num_query_rounds = buf.read_u32()
+    config = FriConfig(rate_bits, cap_height, pow_bits,
+                       FriReductionStrategy(kind, arity_bits, final_poly_bits),
+                       num_query_rounds)
+    hiding = buf.read_bool()
+    degree_bits = buf.read_u32()
+    red = tuple(buf.read_u32() for _ in range(buf.read_usize()))
+    return FriParams(config, hiding, degree_bits, red)
+
+
+def common_data_to_bytes(common: CommonCircuitData) -> bytes:
+    buf = Buffer()
+    c = common.config
+    for v in (c.num_wires, c.num_routed_wires, c.num_constants,
+              c.security_bits, c.num_challenges, c.max_quotient_degree_factor):
+        buf.write_u32(v)
+    buf.write_bool(c.zero_knowledge)
+    write_fri_params(buf, common.fri_params)
+    buf.write_usize(len(common.gates))
+    for g in common.gates:
+        buf.write_str(g.id())
+    si = common.selectors_info
+    buf.write_usize(len(si.selector_indices))
+    for i in si.selector_indices:
+        buf.write_u32(i)
+    buf.write_usize(len(si.groups))
+    for r in si.groups:
+        buf.write_u32(r.start)
+        buf.write_u32(r.stop)
+    buf.write_u32(common.quotient_degree_factor)
+    buf.write_u32(common.num_gate_constraints)
+    buf.write_u32(common.num_constants)
+    buf.write_u32(common.num_public_inputs)
+    buf.write_usize(len(common.k_is))
+    buf.write_field_vec(common.k_is)
+    buf.write_u32(common.num_partial_products)
+    buf.write_u32(common.num_lookup_polys)
+    buf.write_u32(common.num_lookup_selectors)
+    buf.write_usize(len(common.luts))
+    for lut in common.luts:
+        buf.write_usize(len(lut))
+        for a, b in lut:
+            buf.write_u32(a)
+            buf.write_u32(b)
+    return buf.bytes()
+
+
+def common_data_from_bytes(data: bytes) -> CommonCircuitData:
+    buf = Buffer(data)
+    (num_wires, num_routed_wires, num_constants_cfg, security_bits,
+     num_challenges, max_qdf) = (buf.read_u32() for _ in range(6))
+    zero_knowledge = buf.read_bool()
+    fri_params = read_fri_params(buf)
+    config = CircuitConfig(
+        num_wires=num_wires, num_routed_wires=num_routed_wires,
+        num_constants=num_constants_cfg, security_bits=security_bits,
+        num_challenges=num_challenges, zero_knowledge=zero_knowledge,
+        max_quotient_degree_factor=max_qdf, fri_config=fri_params.config)
+    gates = [gate_from_id(buf.read_str()) for _ in range(buf.read_usize())]
+    selector_indices = [buf.read_u32() for _ in range(buf.read_usize())]
+    groups = [range(buf.read_u32(), buf.read_u32())
+              for _ in range(buf.read_usize())]
+    quotient_degree_factor = buf.read_u32()
+    num_gate_constraints = buf.read_u32()
+    num_constants = buf.read_u32()
+    num_public_inputs = buf.read_u32()
+    k_is = buf.read_field_vec(buf.read_usize())
+    num_partial_products = buf.read_u32()
+    num_lookup_polys = buf.read_u32()
+    num_lookup_selectors = buf.read_u32()
+    luts = []
+    for _ in range(buf.read_usize()):
+        n = buf.read_usize()
+        luts.append(tuple((buf.read_u32(), buf.read_u32()) for _ in range(n)))
+    return CommonCircuitData(
+        config=config, fri_params=fri_params, gates=gates,
+        selectors_info=SelectorsInfo(selector_indices, groups),
+        quotient_degree_factor=quotient_degree_factor,
+        num_gate_constraints=num_gate_constraints,
+        num_constants=num_constants, num_public_inputs=num_public_inputs,
+        k_is=k_is, num_partial_products=num_partial_products,
+        num_lookup_polys=num_lookup_polys,
+        num_lookup_selectors=num_lookup_selectors, luts=luts)
+
+
+def verifier_data_to_bytes(vd: VerifierOnlyCircuitData) -> bytes:
+    buf = Buffer()
+    buf.write_cap(vd.constants_sigmas_cap)
+    buf.write_hash(vd.circuit_digest)
+    return buf.bytes()
+
+
+def verifier_data_from_bytes(data: bytes) -> VerifierOnlyCircuitData:
+    buf = Buffer(data)
+    return VerifierOnlyCircuitData(buf.read_cap(), buf.read_hash())
