@@ -8,11 +8,13 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class FriReductionStrategy:
-    """Only Fixed and ConstantArityBits are used by the demo configs."""
+    """Fixed, ConstantArityBits, and MinSize
+    (reference fri/reduction_strategies.rs:13-56)."""
 
-    kind: str  # "fixed" | "constant_arity"
+    kind: str  # "fixed" | "constant_arity" | "min_size"
     arity_bits: tuple = ()
     final_poly_bits: int = 0
+    num_queries_hint: int = 28  # MinSize sizes Merkle paths by query count
 
     @staticmethod
     def fixed(arities) -> "FriReductionStrategy":
@@ -22,11 +24,22 @@ class FriReductionStrategy:
     def constant_arity(arity_bits: int, final_poly_bits: int) -> "FriReductionStrategy":
         return FriReductionStrategy("constant_arity", (arity_bits,), final_poly_bits)
 
+    @staticmethod
+    def min_size(max_arity_bits: int | None = None,
+                 num_queries: int = 28) -> "FriReductionStrategy":
+        return FriReductionStrategy(
+            "min_size", (max_arity_bits,) if max_arity_bits else (),
+            num_queries_hint=num_queries)
+
     def reduction_arity_bits(
         self, degree_bits: int, rate_bits: int, cap_height: int
     ) -> list[int]:
         if self.kind == "fixed":
             return list(self.arity_bits)
+        if self.kind == "min_size":
+            max_bits = self.arity_bits[0] if self.arity_bits else 4
+            return _min_size_arity_bits(degree_bits, rate_bits,
+                                        self.num_queries_hint, max_bits)
         # ConstantArityBits (reference reduction_strategies.rs:39-50)
         (arity_bits,) = self.arity_bits
         result = []
@@ -36,6 +49,35 @@ class FriReductionStrategy:
             result.append(arity_bits)
             d -= arity_bits
         return result
+
+
+def _min_size_arity_bits(degree_bits: int, rate_bits: int, num_queries: int,
+                         max_arity_bits: int) -> list[int]:
+    """Exhaustive search for the arity sequence minimizing estimated FRI
+    proof size (reduction_strategies.rs:58-163).  Optimal sequences are
+    monotonically non-increasing."""
+    def proof_size(arities: tuple) -> int:
+        d = 4  # size of a quartic-extension opening in the reference's model
+        layer = degree_bits + rate_bits
+        total = 0
+        for a in arities:
+            total += ((1 << a) - 1) * d * num_queries
+            total += layer * 4 * num_queries
+            layer -= a
+        return total + d * (1 << (layer - rate_bits))
+
+    def helper(prefix: tuple, cap: int):
+        layer = degree_bits + rate_bits - sum(prefix)
+        best, best_size = prefix, proof_size(prefix)
+        limit = min(cap, layer - rate_bits)
+        for nxt in range(1, limit + 1):
+            cand, size = helper(prefix + (nxt,), nxt)
+            if size < best_size:
+                best, best_size = cand, size
+        return best, best_size
+
+    best, _ = helper((), max_arity_bits)
+    return list(best)
 
 
 @dataclass(frozen=True)

@@ -54,12 +54,20 @@ class PolynomialBatch:
     @classmethod
     def from_coeffs(cls, polynomials: GF, rate_bits: int, blinding: bool,
                     cap_height: int, timing=None) -> "PolynomialBatch":
-        assert not blinding, "zk blinding salts not implemented yet"
         n = polynomials.shape[-1]
         lde_values = ntt.lde(polynomials, rate_bits, shift=COSET_SHIFT)
+        leaf_cols = lde_values
+        if blinding:
+            # SALT_SIZE random columns so leaf openings reveal nothing about
+            # the committed values (fri/oracle.rs:109-126)
+            rng = np.random.default_rng()
+            salt = GF.from_u64(rng.integers(
+                0, gl64.ORDER_INT, size=(SALT_SIZE, n << rate_bits),
+                dtype=np.uint64))
+            leaf_cols = GF.concatenate([lde_values, salt], axis=0)
         # rows of the evaluation matrix become Merkle leaves, in bit-reversed
         # order (reference fri/oracle.rs:81-100)
-        leaves = lde_values.transpose(1, 0)
+        leaves = leaf_cols.transpose(1, 0)
         perm = reverse_index_bits_perm(leaves.shape[0])
         leaves = leaves.take(perm, axis=0)
         tree = MerkleTree(leaves, cap_height)

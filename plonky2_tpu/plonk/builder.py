@@ -59,6 +59,18 @@ class CircuitBuilder(BuilderGadgets):
         self.luts: list = []  # of tuple of (u16 in, u16 out) pairs
         self.lut_to_lookups: list = []  # per LUT: [(looking_in, looking_out)]
         self.lookup_rows: list = []  # (last_lu_gate, last_lut_gate, first_lut_gate)
+        # gate-count profiling (util/context_tree.rs)
+        from ..utils.context_tree import ContextTracker
+        self.context_tracker = ContextTracker()
+
+    def context(self, name: str):
+        """Profile gate counts of a construction scope (with_context! twin)."""
+        return self.context_tracker.scope(name, self.num_gates)
+
+    def print_context_tree(self, min_gates: int = 1) -> str:
+        report = self.context_tracker.report(self.num_gates(), min_gates)
+        print(report)
+        return report
 
     # -- targets ------------------------------------------------------------
     def add_virtual_target(self) -> int:
@@ -76,6 +88,23 @@ class CircuitBuilder(BuilderGadgets):
         for t in ts:
             self.register_public_input(t)
 
+    def num_public_inputs(self) -> int:
+        return len(self.public_inputs)
+
+    def add_verifier_data_public_inputs(self):
+        """Allocate this circuit's own verifier data as public inputs — the
+        cyclic-recursion hook (circuit_builder.rs:335).  Layout at the END of
+        the public inputs: [..., circuit_digest (4), cap (4 * 2^cap_height)]."""
+        assert getattr(self, "verifier_data_public_input", None) is None, \
+            "add_verifier_data_public_inputs may only be called once"
+        from ..recursion.recursive_verifier import add_virtual_verifier_data
+        vdt = add_virtual_verifier_data(self, self.config.fri_config.cap_height)
+        self.register_public_inputs(vdt.circuit_digest)
+        for h in vdt.constants_sigmas_cap:
+            self.register_public_inputs(h)
+        self.verifier_data_public_input = vdt
+        return vdt
+
     def connect(self, x: int, y: int) -> None:
         assert tg.is_routable(x, self.config.num_routed_wires), "not routable"
         assert tg.is_routable(y, self.config.num_routed_wires), "not routable"
@@ -90,6 +119,12 @@ class CircuitBuilder(BuilderGadgets):
     # -- gates ----------------------------------------------------------------
     def num_gates(self) -> int:
         return len(self.gate_instances)
+
+    def add_gate_to_gate_set(self, gate) -> None:
+        """Register a gate type without placing an instance — used to make a
+        circuit's gate set (and so its selector layout / CommonCircuitData)
+        match a target shape (circuit_builder.rs add_gate_to_gate_set)."""
+        self.gate_set.setdefault(gate.id(), gate)
 
     def add_gate(self, gate, constants: list) -> int:
         assert gate.num_wires() <= self.config.num_wires
@@ -359,8 +394,9 @@ class CircuitBuilder(BuilderGadgets):
             self.add_simple_generator(GeneratorSpec(
                 "constant", deps=[], outs=[tg.wire(row, wi)], params=(c,)))
 
-        # pad to a power of two (blind_and_pad; zk blinding not yet supported)
-        assert not config.zero_knowledge, "zk blinding not implemented yet"
+        # blind (zk only) and pad to a power of two (circuit_builder.rs:763)
+        if config.zero_knowledge:
+            self._blind()
         while len(self.gate_instances) & (len(self.gate_instances) - 1):
             self.add_gate(NoopGate(), [])
 
@@ -464,6 +500,49 @@ class CircuitBuilder(BuilderGadgets):
         verifier_only = VerifierOnlyCircuitData(
             constants_sigmas_cap=cap, circuit_digest=circuit_digest)
         return CircuitData(prover_only, verifier_only, common)
+
+    # -- zk blinding (circuit_builder.rs:718-820) ----------------------------
+    def _num_blinding_gates(self, degree_estimate: int) -> tuple:
+        """Openings revealed per polynomial: D at zeta (2D for Zs, also
+        opened at g*zeta) plus the FRI query-phase leakage."""
+        D = 2
+        degree_bits = degree_estimate.bit_length() - 1
+        cfg = self.config.fri_config
+        params = cfg.fri_params(degree_bits, True)
+        arities = [1 << a for a in params.reduction_arity_bits]
+        total_folding = sum(a - 1 for a in arities)
+        prod = 1
+        for a in arities:
+            prod *= a
+        final_coeffs = degree_estimate // prod
+        fri_openings = cfg.num_query_rounds * (
+            1 + D * total_folding + D * final_coeffs)
+        return (D + fri_openings, 2 * D + fri_openings)
+
+    def _blind(self) -> None:
+        """Add blinding rows: one random no-op row per regular opening, and a
+        connected random row-pair per Z opening (the 2-cycle that injects a
+        uniform factor into Z; mirprotocol blog / circuit_builder.rs:773)."""
+        num_gates = len(self.gate_instances)
+        degree_estimate = max(1 << (num_gates - 1).bit_length(), 2)
+        while True:
+            regular, z_openings = self._num_blinding_gates(degree_estimate)
+            if num_gates + regular + 2 * z_openings <= degree_estimate:
+                break
+            degree_estimate *= 2
+
+        for _ in range(regular):
+            row = self.add_gate(NoopGate(), [])
+            for w in range(self.config.num_wires):
+                self.add_simple_generator(GeneratorSpec(
+                    "random", deps=[], outs=[tg.wire(row, w)]))
+        for _ in range(z_openings):
+            row1 = self.add_gate(NoopGate(), [])
+            row2 = self.add_gate(NoopGate(), [])
+            for w in range(self.config.num_routed_wires):
+                self.add_simple_generator(GeneratorSpec(
+                    "random", deps=[], outs=[tg.wire(row1, w)]))
+                self.connect(tg.wire(row1, w), tg.wire(row2, w))
 
     # -- build helpers -----------------------------------------------------
     def _selector_polynomials(self, gates: list, max_degree: int):

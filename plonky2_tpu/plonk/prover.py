@@ -32,6 +32,8 @@ P = gl64.ORDER_INT
 
 def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
           inputs: PartialWitness, timing=None) -> ProofWithPublicInputs:
+    from ..utils.timing import TimingTree
+    timing = timing if timing is not None else TimingTree("prove")
     config = common.config
     num_challenges = config.num_challenges
     degree = common.degree()
@@ -39,7 +41,8 @@ def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
     cap_height = config.fri_config.cap_height
 
     # 1. witness generation (host, leveled batches)
-    wires_matrix, all_values = prover_data.schedule.generate(inputs)
+    with timing.scope("generate witness"):
+        wires_matrix, all_values = prover_data.schedule.generate(inputs)
     public_inputs = prover_data.schedule.values_of(all_values,
                                                    prover_data.public_inputs)
     public_inputs = gl64.to_canonical(public_inputs)
@@ -47,8 +50,10 @@ def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
 
     # 2. wires commitment
     wires_values = GF.from_u64(wires_matrix)
-    wires_commitment = PolynomialBatch.from_values(
-        wires_values, rate_bits, False, cap_height)
+    zk = config.zero_knowledge
+    with timing.scope("compute wires commitment"):
+        wires_commitment = PolynomialBatch.from_values(
+            wires_values, rate_bits, zk, cap_height)
 
     challenger = Challenger()
     challenger.observe_hash(prover_data.circuit_digest)
@@ -68,44 +73,50 @@ def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
         deltas = np.zeros(0, dtype=np.uint64)
 
     # 3. partial products + Z polys (device, prefix products over rows)
-    zs_partial_products = _all_partial_products_and_zs(
-        wires_matrix, betas, gammas, prover_data, common)
+    with timing.scope("compute partial products"):
+        zs_partial_products = _all_partial_products_and_zs(
+            wires_matrix, betas, gammas, prover_data, common)
     if has_lookup:
         lookup_polys = _compute_all_lookup_polys(wires_matrix, deltas,
                                                  prover_data, common)
         zs_partial_products = GF.concatenate(
             [zs_partial_products, GF.from_u64(lookup_polys)], axis=0)
-    pp_commitment = PolynomialBatch.from_values(
-        zs_partial_products, rate_bits, False, cap_height)
+    with timing.scope("commit to partial products and Z's"):
+        pp_commitment = PolynomialBatch.from_values(
+            zs_partial_products, rate_bits, zk, cap_height)
     challenger.observe_cap(pp_commitment.merkle_tree.cap)
 
     alphas = challenger.get_n_challenges(num_challenges)
 
     # 4. quotient polynomials
-    quotient_chunks = _compute_quotient_polys(
-        common, prover_data, public_inputs_hash, wires_commitment,
-        pp_commitment, betas, gammas, alphas, deltas)
-    quotient_commitment = PolynomialBatch.from_coeffs(
-        quotient_chunks, rate_bits, False, cap_height)
+    with timing.scope("compute quotient polys"):
+        quotient_chunks = _compute_quotient_polys(
+            common, prover_data, public_inputs_hash, wires_commitment,
+            pp_commitment, betas, gammas, alphas, deltas)
+    with timing.scope("commit to quotient polys"):
+        quotient_commitment = PolynomialBatch.from_coeffs(
+            quotient_chunks, rate_bits, zk, cap_height)
     challenger.observe_cap(quotient_commitment.merkle_tree.cap)
 
     # 5. openings at zeta, g*zeta
     zeta_np = challenger.get_extension_challenge()
     assert not _in_subgroup(zeta_np, common.degree_bits()), \
         "opening point is in the subgroup"
-    openings = _opening_set(zeta_np, prover_data.constants_sigmas_commitment,
-                            wires_commitment, pp_commitment,
-                            quotient_commitment, common)
+    with timing.scope("construct the opening set"):
+        openings = _opening_set(zeta_np, prover_data.constants_sigmas_commitment,
+                                wires_commitment, pp_commitment,
+                                quotient_commitment, common)
     for batch in openings.to_fri_openings().batches:
         for v in batch.values:
             challenger.observe_extension_element(v)
 
     instance = common.get_fri_instance(zeta_np)
-    opening_proof = PolynomialBatch.prove_openings(
-        instance,
-        [prover_data.constants_sigmas_commitment, wires_commitment,
-         pp_commitment, quotient_commitment],
-        challenger, common.fri_params)
+    with timing.scope("compute opening proofs (FRI)"):
+        opening_proof = PolynomialBatch.prove_openings(
+            instance,
+            [prover_data.constants_sigmas_commitment, wires_commitment,
+             pp_commitment, quotient_commitment],
+            challenger, common.fri_params)
 
     proof = Proof(
         wires_cap=wires_commitment.merkle_tree.cap,

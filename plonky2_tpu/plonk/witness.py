@@ -48,7 +48,9 @@ class WitnessSchedule:
 
     def __init__(self, num_rows: int, num_wires: int, num_virtual: int,
                  copy_pairs: list, generators: list[GeneratorSpec],
-                 rng_seed: int = 0):
+                 rng_seed: int | None = None):
+        # rng_seed None -> fresh OS entropy per generate() (the reference's
+        # RandomValueGenerator uses OsRng); pass a seed for reproducibility
         self.num_rows = num_rows
         self.num_wires = num_wires
         self.num_virtual = num_virtual

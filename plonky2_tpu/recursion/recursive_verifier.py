@@ -291,6 +291,20 @@ def set_verifier_data_target(pw: PartialWitness, vdt: VerifierCircuitTarget,
 def set_proof_with_pis_target(pw: PartialWitness,
                               pt: ProofWithPublicInputsTarget,
                               proof_with_pis: ProofWithPublicInputs) -> None:
+    fill_proof_with_pis_target(pw.set_target, pt, proof_with_pis)
+
+
+def fill_proof_with_pis_target(set_target, pt: ProofWithPublicInputsTarget,
+                               proof_with_pis: ProofWithPublicInputs) -> None:
+    """Walk the target structure, calling set_target(target, int_value) —
+    used for witness filling and for baking dummy proofs in as constants."""
+
+    class _PW:
+        @staticmethod
+        def set_target(t, v):
+            set_target(t, v)
+
+    pw = _PW()
     proof = proof_with_pis.proof
     for t, v in zip(pt.public_inputs, proof_with_pis.public_inputs):
         pw.set_target(t, int(v))

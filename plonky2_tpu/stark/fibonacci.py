@@ -54,3 +54,9 @@ class FibonacciStark(Stark):
 
     def constraint_degree(self) -> int:
         return 2
+
+    def permutation_pairs(self) -> list:
+        """Columns 2 and 3 are [0..n-1] and [1..n-1, 0] — permutations of
+        each other (reference fibonacci_stark.rs permutation_pairs)."""
+        from .permutation import PermutationPair
+        return [PermutationPair.singletons(2, 3)]

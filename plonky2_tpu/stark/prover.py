@@ -26,8 +26,6 @@ P = gl64.ORDER_INT
 def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
           public_inputs: np.ndarray, timing=None) -> StarkProofWithPublicInputs:
     """trace_poly_values: (COLUMNS, degree) evaluations over the subgroup."""
-    assert not stark.uses_permutation_args(), \
-        "permutation arguments not implemented yet"
     degree = trace_poly_values.shape[-1]
     degree_bits = log2_strict(degree)
     fri_params = config.fri_params(degree_bits)
@@ -40,10 +38,25 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
     challenger = Challenger()
     challenger.observe_cap(trace_commitment.merkle_tree.cap)
 
+    # permutation arguments (starky/src/prover.rs:75-112)
+    perm_zs_commitment = None
+    challenge_sets = None
+    if stark.uses_permutation_args():
+        from .permutation import (compute_permutation_z_polys,
+                                  get_n_permutation_challenge_sets)
+        challenge_sets = get_n_permutation_challenge_sets(
+            challenger, config.num_challenges, stark.permutation_batch_size())
+        z_polys = compute_permutation_z_polys(
+            stark, config, trace_poly_values.to_u64(), challenge_sets)
+        perm_zs_commitment = PolynomialBatch.from_values(
+            GF.from_u64(z_polys), rate_bits, False, cap_height)
+        challenger.observe_cap(perm_zs_commitment.merkle_tree.cap)
+
     alphas = challenger.get_n_challenges(config.num_challenges)
 
     quotient_chunks = _compute_quotient_polys(
-        stark, trace_commitment, public_inputs, alphas, degree_bits, config)
+        stark, trace_commitment, public_inputs, alphas, degree_bits, config,
+        perm_zs_commitment, challenge_sets)
     quotient_commitment = PolynomialBatch.from_coeffs(
         quotient_chunks, rate_bits, False, cap_height)
     challenger.observe_cap(quotient_commitment.merkle_tree.cap)
@@ -59,14 +72,23 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
         local_values=eval_polys_at_ext(trace_commitment.polynomials, zpow).to_u64(),
         next_values=eval_polys_at_ext(trace_commitment.polynomials, zgpow).to_u64(),
         quotient_polys=eval_polys_at_ext(quotient_commitment.polynomials, zpow).to_u64(),
+        permutation_zs=eval_polys_at_ext(perm_zs_commitment.polynomials,
+                                         zpow).to_u64()
+        if perm_zs_commitment else None,
+        permutation_zs_next=eval_polys_at_ext(perm_zs_commitment.polynomials,
+                                              zgpow).to_u64()
+        if perm_zs_commitment else None,
     )
     for batch in openings.to_fri_openings().batches:
         for v in batch.values:
             challenger.observe_extension_element(v)
 
+    commitments = [trace_commitment]
+    if perm_zs_commitment is not None:
+        commitments.append(perm_zs_commitment)
+    commitments.append(quotient_commitment)
     opening_proof = PolynomialBatch.prove_openings(
-        stark.fri_instance(zeta_np, g, config),
-        [trace_commitment, quotient_commitment],
+        stark.fri_instance(zeta_np, g, config), commitments,
         challenger, fri_params)
 
     proof = StarkProof(
@@ -74,12 +96,15 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
         quotient_polys_cap=quotient_commitment.merkle_tree.cap,
         openings=openings,
         opening_proof=opening_proof,
+        permutation_zs_cap=perm_zs_commitment.merkle_tree.cap
+        if perm_zs_commitment else None,
     )
     return StarkProofWithPublicInputs(proof, np.asarray(public_inputs, np.uint64))
 
 
 def _compute_quotient_polys(stark: Stark, trace_commitment, public_inputs,
-                            alphas, degree_bits: int, config) -> GF:
+                            alphas, degree_bits: int, config,
+                            perm_zs_commitment=None, challenge_sets=None) -> GF:
     degree = 1 << degree_bits
     rate_bits = config.fri_config.rate_bits
     qdb = (stark.quotient_degree_factor() - 1).bit_length()
@@ -92,6 +117,10 @@ def _compute_quotient_polys(stark: Stark, trace_commitment, public_inputs,
     import jax.numpy as jnp
     trace_next = GF(jnp.roll(trace.lo, -next_step, axis=-1),
                     jnp.roll(trace.hi, -next_step, axis=-1))
+    if perm_zs_commitment is not None:
+        perm = perm_zs_commitment.lde_values_natural()[:, ::step]
+        perm_next = GF(jnp.roll(perm.lo, -next_step, axis=-1),
+                       jnp.roll(perm.hi, -next_step, axis=-1))
 
     big = gl64.two_adic_subgroup(degree_bits + qdb)
     xs = GF.from_u64(gl64.mul(big, np.uint64(COSET_SHIFT)))
@@ -114,6 +143,13 @@ def _compute_quotient_polys(stark: Stark, trace_commitment, public_inputs,
     )
     consumer = ConstraintConsumer(ctx, alphas, z_last, lag_first, lag_last)
     stark.eval_generic(ctx, vars, consumer)
+    if perm_zs_commitment is not None:
+        from .permutation import eval_permutation_checks
+        eval_permutation_checks(
+            ctx, stark, config, vars,
+            [perm[i] for i in range(perm.shape[0])],
+            [perm_next[i] for i in range(perm_next.shape[0])],
+            challenge_sets, consumer)
 
     zh_inv_tiled = GF.from_u64(np.tile(gl64.batch_inv(zh), degree))
     quotient_values = GF.stack(

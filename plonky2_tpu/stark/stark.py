@@ -31,7 +31,10 @@ class ConstraintConsumer:
     def __init__(self, ctx, alphas, z_last, lagrange_basis_first,
                  lagrange_basis_last):
         self.ctx = ctx
-        self.alphas = [ctx.constant(int(a)) for a in alphas]
+        # alphas may be host ints (prover/verifier) or circuit elements
+        # (recursive verifier)
+        self.alphas = [ctx.constant(int(a)) if isinstance(a, (int, np.integer))
+                       else a for a in alphas]
         self.accs = [ctx.zero() for _ in alphas]
         self.z_last = z_last
         self.lagrange_basis_first = lagrange_basis_first
@@ -73,16 +76,33 @@ class Stark:
     def num_quotient_polys(self, config) -> int:
         return self.quotient_degree_factor() * config.num_challenges
 
+    def permutation_pairs(self) -> list:
+        """PermutationPair list (stark.rs:195)."""
+        return []
+
     def uses_permutation_args(self) -> bool:
-        return False
+        return bool(self.permutation_pairs())
+
+    def permutation_batch_size(self) -> int:
+        """Products in the Z transition have batch_size factors, so the batch
+        size is the constraint degree minus one = quotient degree factor
+        (stark.rs:204)."""
+        return max(1, self.quotient_degree_factor())
+
+    def num_permutation_batches(self, config) -> int:
+        from .permutation import num_permutation_batches
+        return num_permutation_batches(self, config)
 
     def fri_instance(self, zeta: np.ndarray, g: int, config) -> FriInstanceInfo:
         """(stark.rs:88) zeta batch: trace ++ (perm zs) ++ quotient;
         g*zeta batch: trace ++ (perm zs)."""
         oracles = [FriOracleInfo(self.COLUMNS, False)]
         trace_info = FriPolynomialInfo.from_range(0, 0, self.COLUMNS)
-        assert not self.uses_permutation_args(), \
-            "permutation arguments not implemented yet"
+        perm_info = []
+        if self.uses_permutation_args():
+            num_zs = self.num_permutation_batches(config)
+            perm_info = FriPolynomialInfo.from_range(len(oracles), 0, num_zs)
+            oracles.append(FriOracleInfo(num_zs, False))
         num_quotient = self.num_quotient_polys(config)
         quotient_info = FriPolynomialInfo.from_range(len(oracles), 0, num_quotient)
         oracles.append(FriOracleInfo(num_quotient, False))
@@ -91,7 +111,7 @@ class Stark:
             oracles=oracles,
             batches=[
                 FriBatchInfo(point=np.asarray(zeta, np.uint64),
-                             polynomials=trace_info + quotient_info),
-                FriBatchInfo(point=zeta_next, polynomials=trace_info),
+                             polynomials=trace_info + perm_info + quotient_info),
+                FriBatchInfo(point=zeta_next, polynomials=trace_info + perm_info),
             ],
         )

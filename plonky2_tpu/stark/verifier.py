@@ -17,11 +17,17 @@ from .stark import ConstraintConsumer, Stark, StarkEvaluationVars
 P = gl64.ORDER_INT
 
 
-def get_challenges(proof_with_pis: StarkProofWithPublicInputs, config: StarkConfig,
-                   degree_bits: int) -> StarkProofChallenges:
+def get_challenges(stark: Stark, proof_with_pis: StarkProofWithPublicInputs,
+                   config: StarkConfig, degree_bits: int) -> StarkProofChallenges:
     proof = proof_with_pis.proof
     challenger = Challenger()
     challenger.observe_cap(proof.trace_cap)
+    challenge_sets = None
+    if stark.uses_permutation_args():
+        from .permutation import get_n_permutation_challenge_sets
+        challenge_sets = get_n_permutation_challenge_sets(
+            challenger, config.num_challenges, stark.permutation_batch_size())
+        challenger.observe_cap(proof.permutation_zs_cap)
     alphas = challenger.get_n_challenges(config.num_challenges)
     challenger.observe_cap(proof.quotient_polys_cap)
     zeta = challenger.get_extension_challenge()
@@ -32,13 +38,13 @@ def get_challenges(proof_with_pis: StarkProofWithPublicInputs, config: StarkConf
                          proof.opening_proof.final_poly,
                          proof.opening_proof.pow_witness,
                          degree_bits, config.fri_config)
-    return StarkProofChallenges(alphas, zeta, fri)
+    return StarkProofChallenges(alphas, zeta, fri, challenge_sets)
 
 
 def verify_stark_proof(stark: Stark, proof_with_pis: StarkProofWithPublicInputs,
                        config: StarkConfig, degree_bits: int) -> None:
     proof = proof_with_pis.proof
-    challenges = get_challenges(proof_with_pis, config, degree_bits)
+    challenges = get_challenges(stark, proof_with_pis, config, degree_bits)
     openings = proof.openings
     ctx = ExtCtx()
     zeta = E2(challenges.stark_zeta)
@@ -62,6 +68,13 @@ def verify_stark_proof(stark: Stark, proof_with_pis: StarkProofWithPublicInputs,
     consumer = ConstraintConsumer(ctx, challenges.stark_alphas, z_last,
                                   l_first, l_last)
     stark.eval_generic(ctx, vars, consumer)
+    if stark.uses_permutation_args():
+        from .permutation import eval_permutation_checks
+        eval_permutation_checks(
+            ctx, stark, config, vars,
+            [E2(v) for v in openings.permutation_zs],
+            [E2(v) for v in openings.permutation_zs_next],
+            challenges.permutation_challenge_sets, consumer)
     vanishing = consumer.accumulators()
 
     qdf = stark.quotient_degree_factor()
@@ -72,11 +85,15 @@ def verify_stark_proof(stark: Stark, proof_with_pis: StarkProofWithPublicInputs,
             acc = acc * zeta_pow_n + E2(c)
         assert v.equals(z_h_zeta * acc), f"STARK vanishing check failed ({i})"
 
+    caps = [proof.trace_cap]
+    if stark.uses_permutation_args():
+        caps.append(proof.permutation_zs_cap)
+    caps.append(proof.quotient_polys_cap)
     verify_fri_proof(
         stark.fri_instance(challenges.stark_zeta, g, config),
         openings.to_fri_openings(),
         challenges.fri_challenges,
-        [proof.trace_cap, proof.quotient_polys_cap],
+        caps,
         proof.opening_proof,
         config.fri_params(degree_bits),
     )
