@@ -41,31 +41,34 @@ N = 1 << LOG_N
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def _lde_chain(coeffs: GF, reps: int) -> GF:
+def _lde_chain(seed, reps: int):
+    import jax.numpy as jnp
+    # generate the coefficient batch ON DEVICE: the tunnel re-uploads host
+    # inputs per call at ~40 MB/s, which would swamp the measurement
+    base = jax.lax.broadcasted_iota(jnp.uint32, (BATCH, N), 1)
+    coeffs = GF(base * jnp.uint32(2654435761) + seed.astype(jnp.uint32),
+                base ^ jnp.uint32(0x9E3779B9))
+
     def body(i, c):
         out = ntt.lde(c, RATE_BITS, shift=7)
-        # fold back to input size — a data dependency between iterations so
-        # nothing can be deduplicated or overlapped away
-        return GF(out.lo[..., :N], out.hi[..., :N])
+        # fold back to input size with a data dependency between iterations
+        # so nothing can be deduplicated or overlapped away
+        return GF(out.lo[..., :N], out.hi[..., :N] + jnp.uint32(1))
 
-    return jax.lax.fori_loop(0, reps, body, coeffs)
+    out = jax.lax.fori_loop(0, reps, body, coeffs)
+    return out.lo.sum() + out.hi.sum()
 
 
 def main():
+    import jax.numpy as jnp
     out_elems = BATCH * (N << RATE_BITS)
-    rng = np.random.default_rng(0)
-    coeffs = GF.from_u64(rng.integers(0, gl64.ORDER_INT, size=(BATCH, N),
-                                      dtype=np.uint64))
-    coeffs = jax.device_put(coeffs)
 
     reps = 8
     # warm-up / compile
-    out = _lde_chain(coeffs, reps)
-    _ = jax.device_get(out.lo)[0, 0]
+    _ = jax.device_get(_lde_chain(jnp.uint32(1), reps))
 
     t0 = time.perf_counter()
-    out = _lde_chain(coeffs, reps)
-    _ = jax.device_get(out.lo)[0, 0]
+    _ = jax.device_get(_lde_chain(jnp.uint32(2), reps))
     dt = time.perf_counter() - t0
 
     throughput = out_elems * reps / dt

@@ -58,20 +58,40 @@ def _n_inv(n: int) -> GF:
     return GF.full((), pow(n, gl64.ORDER_INT - 2, gl64.ORDER_INT))
 
 
+MAX_FUSED_STAGES = 3  # radix-8 passes
+
+
 def _butterflies(x: GF, log_n: int, start_stage: int, inverse: bool) -> GF:
-    """Iterative Cooley-Tukey DIT on bit-reversed input, stages unrolled."""
+    """Iterative Cooley-Tukey DIT on bit-reversed input.
+
+    Up to MAX_FUSED_STAGES radix-2 stages are fused per elementwise pass
+    (radix-8 by default): intermediate butterflies stay in registers, cutting
+    HBM round-trips — the dominant cost of the radix-2 formulation on TPU."""
     n = 1 << log_n
     tw = _stage_twiddles(log_n, inverse)
     batch = x.shape[:-1]
-    for s in range(start_stage + 1, log_n + 1):
+    s = start_stage + 1
+    while s <= log_n:
         half = 1 << (s - 1)
-        blocks = n >> s
-        xr = x.reshape(*batch, blocks, 2, half)
-        a = xr[..., 0, :]
-        b = xr[..., 1, :]
-        w = GF.from_u64(tw[s - 1])  # (half,)
-        t = b * w
-        x = GF.stack([a + t, a - t], axis=-2).reshape(*batch, n)
+        k = min(MAX_FUSED_STAGES, log_n - s + 1)
+        nparts = 1 << k
+        blocks = n >> (s + k - 1)
+        xr = x.reshape(*batch, blocks, nparts, half)
+        parts = [xr[..., p, :] for p in range(nparts)]
+        for j in range(k):  # stage s + j over the register-resident parts
+            step = 1 << j
+            w = tw[s + j - 1]  # (half << j,) twiddles of stage s+j
+            new = list(parts)
+            for p0 in range(0, nparts, 2 * step):
+                for q in range(step):
+                    pa, pb = p0 + q, p0 + q + step
+                    wq = GF.from_u64(w[q * half:(q + 1) * half])
+                    t = parts[pb] * wq
+                    new[pa] = parts[pa] + t
+                    new[pb] = parts[pa] - t
+            parts = new
+        x = GF.stack(parts, axis=-2).reshape(*batch, n)
+        s += k
     return x
 
 

@@ -83,20 +83,21 @@ def _sqrt_mod_p(v: int) -> int | None:
     if pow(v, (P - 1) // 2, P) != 1:
         return None
     m = (P - 1) >> 32
-    z = pow(gl64.MULTIPLICATIVE_GROUP_GENERATOR, m, P)  # order-2^32 generator
+    c = pow(gl64.MULTIPLICATIVE_GROUP_GENERATOR, m, P)  # order-2^32 generator
     t = pow(v, m, P)
     r = pow(v, (m + 1) // 2, P)
-    s = 32
+    big_m = 32
     while t != 1:
         # find least i with t^(2^i) = 1
         i, t2 = 0, t
         while t2 != 1:
             t2 = (t2 * t2) % P
             i += 1
-        bexp = pow(z, 1 << (s - i - 1), P)
-        r = (r * bexp) % P
-        t = (t * bexp * bexp) % P
-        s = i
+        b = pow(c, 1 << (big_m - i - 1), P)
+        r = (r * b) % P
+        c = (b * b) % P
+        t = (t * c) % P
+        big_m = i
     return r
 
 
