@@ -164,30 +164,29 @@ class WitnessSchedule:
             key = (level[gi], g.kind, len(g.deps), len(g.outs), pkey)
             by_level_kind.setdefault(key, []).append(gi)
 
-        self.levels: list[list[_Group]] = []
-        max_level = max(level) if generators else -1
-        for lv in range(max_level + 1):
-            groups = []
-            for key, gis in sorted(by_level_kind.items(),
-                                   key=lambda kv: (kv[0][0], str(kv[0][1:]))):
-                glv, kind = key[0], key[1]
-                if glv != lv:
-                    continue
-                dep_mat = np.array([gen_deps[gi] for gi in gis], dtype=np.int64) \
-                    if gen_deps[gis[0]] else np.zeros((len(gis), 0), np.int64)
-                out_mat = np.array([gen_outs[gi] for gi in gis], dtype=np.int64)
-                if kind in ("arithmetic", "arith_ext", "mul_ext"):
-                    params = np.array([generators[gi].params for gi in gis],
-                                      dtype=np.uint64)
-                elif kind == "constant":
-                    params = np.array([generators[gi].params[0] for gi in gis],
-                                      dtype=np.uint64)
-                else:
-                    params = [generators[gi].params for gi in gis]
-                fns = [generators[gi].fn for gi in gis] if kind == "custom" else None
-                groups.append(_Group(kind, dep_mat, out_mat, params, fns))
-            if groups:
-                self.levels.append(groups)
+        # one global sort, then bucket groups by level (a per-level rescan
+        # of the whole dict is quadratic on recursion-sized circuits)
+        groups_by_level: dict[int, list] = {}
+        for key in sorted(by_level_kind.keys(),
+                          key=lambda k: (k[0], str(k[1:]))):
+            gis = by_level_kind[key]
+            glv, kind = key[0], key[1]
+            dep_mat = np.array([gen_deps[gi] for gi in gis], dtype=np.int64) \
+                if gen_deps[gis[0]] else np.zeros((len(gis), 0), np.int64)
+            out_mat = np.array([gen_outs[gi] for gi in gis], dtype=np.int64)
+            if kind in ("arithmetic", "arith_ext", "mul_ext"):
+                params = np.array([generators[gi].params for gi in gis],
+                                  dtype=np.uint64)
+            elif kind == "constant":
+                params = np.array([generators[gi].params[0] for gi in gis],
+                                  dtype=np.uint64)
+            else:
+                params = [generators[gi].params for gi in gis]
+            fns = [generators[gi].fn for gi in gis] if kind == "custom" else None
+            groups_by_level.setdefault(glv, []).append(
+                _Group(kind, dep_mat, out_mat, params, fns))
+        self.levels: list[list[_Group]] = [
+            groups_by_level[lv] for lv in sorted(groups_by_level)]
 
     # ------------------------------------------------------------------
     def generate(self, pw: PartialWitness) -> np.ndarray:

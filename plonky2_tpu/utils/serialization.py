@@ -281,6 +281,7 @@ def write_fri_params(buf: Buffer, params: FriParams):
     for a in cfg.reduction_strategy.arity_bits:
         buf.write_u32(a)
     buf.write_u32(cfg.reduction_strategy.final_poly_bits)
+    buf.write_u32(cfg.reduction_strategy.num_queries_hint)
     buf.write_u32(cfg.num_query_rounds)
     buf.write_bool(params.hiding)
     buf.write_u32(params.degree_bits)
@@ -296,9 +297,11 @@ def read_fri_params(buf: Buffer) -> FriParams:
     kind = buf.read_str()
     arity_bits = tuple(buf.read_u32() for _ in range(buf.read_usize()))
     final_poly_bits = buf.read_u32()
+    num_queries_hint = buf.read_u32()
     num_query_rounds = buf.read_u32()
     config = FriConfig(rate_bits, cap_height, pow_bits,
-                       FriReductionStrategy(kind, arity_bits, final_poly_bits),
+                       FriReductionStrategy(kind, arity_bits, final_poly_bits,
+                                            num_queries_hint),
                        num_query_rounds)
     hiding = buf.read_bool()
     degree_bits = buf.read_u32()

@@ -12,6 +12,8 @@ from plonky2_tpu.plonk.gates.ext_gates import (ArithmeticExtensionGate,
                                                ReducingExtensionGate)
 from plonky2_tpu.plonk.gates.misc import (BaseSumGate, ExponentiationGate,
                                           RandomAccessGate)
+from plonky2_tpu.plonk.gates.interpolation import CosetInterpolationGate
+from plonky2_tpu.plonk.gates.lookup import LookupGate, LookupTableGate
 from plonky2_tpu.plonk.gates.poseidon_gate import PoseidonGate
 from plonky2_tpu.plonk.gates.simple import (ConstantGate, NoopGate,
                                             PublicInputGate)
@@ -35,6 +37,10 @@ ALL_GATES = [
     RandomAccessGate.new_from_config(CONFIG, 4),
     ReducingGate(21),
     ReducingExtensionGate(12),
+    CosetInterpolationGate(4, 8),
+    CosetInterpolationGate(2, 8),
+    LookupGate(40, 0),
+    LookupTableGate(26, 0, 0),
 ]
 
 
