@@ -174,5 +174,9 @@ def coset_ntt_ext(coeffs: GF2, shift: int) -> GF2:
     return GF2(coset_ntt(coeffs.a, shift), coset_ntt(coeffs.b, shift))
 
 
+def coset_intt_ext(values: GF2, shift: int) -> GF2:
+    return GF2(coset_intt(values.a, shift), coset_intt(values.b, shift))
+
+
 def lde_ext(coeffs: GF2, rate_bits: int, shift: int = 1) -> GF2:
     return GF2(lde(coeffs.a, rate_bits, shift), lde(coeffs.b, rate_bits, shift))

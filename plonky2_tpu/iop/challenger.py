@@ -70,6 +70,20 @@ class Challenger:
     def get_n_extension_challenges(self, n: int) -> np.ndarray:
         return np.stack([self.get_extension_challenge() for _ in range(n)])
 
+    # -- state snapshots (challenger.rs compact/from_state) -----------------
+    def compact(self) -> np.ndarray:
+        """Absorb pending inputs and return the 12-felt sponge state."""
+        if self.input_buffer:
+            self._duplexing()
+        self.output_buffer.clear()
+        return self.state.copy()
+
+    @staticmethod
+    def from_state(state: np.ndarray) -> "Challenger":
+        ch = Challenger()
+        ch.state = np.asarray(state, np.uint64).copy()
+        return ch
+
     # -- internals -----------------------------------------------------------
     def _duplexing(self) -> None:
         assert len(self.input_buffer) <= RATE
@@ -128,6 +142,19 @@ class RecursiveChallenger:
 
     def get_extension_challenge(self) -> tuple:
         return tuple(self.get_n_challenges(2))
+
+    # -- state snapshots ------------------------------------------------------
+    def compact(self) -> list:
+        if self.input_buffer:
+            self._duplexing()
+        self.output_buffer.clear()
+        return list(self.state)
+
+    @staticmethod
+    def from_state(builder, state: list) -> "RecursiveChallenger":
+        ch = RecursiveChallenger(builder)
+        ch.state = list(state)
+        return ch
 
     # -- internals -------------------------------------------------------------
     def _duplexing(self) -> None:

@@ -103,16 +103,46 @@ def common_data_for_recursion(config: CircuitConfig, num_extra_pis: int,
         verify_proof_circuit(b, pt, vdt, data.common)
         data = b.build()
 
-    # final shape: one verifier plus padding to the requested degree
+    # final shape: one verifier plus padding to the requested degree, leaving
+    # exactly the headroom for the rows build() itself appends
     b = CircuitBuilder(config)
     pt = add_virtual_proof_with_pis(b, data.common)
     vdt = add_virtual_verifier_data(b, config.fri_config.cap_height)
     verify_proof_circuit(b, pt, vdt, data.common)
-    while b.num_gates() < (1 << min_degree_bits):
-        b.add_gate(NoopGate(), [])
+    # the shape's PI count is 0 but the real circuit hashes its PIs; reserve
+    # for the larger of the two so both land on the same power of two
+    num_pis = num_extra_pis + 4 + 4 * config.fri_config.num_cap_elements()
+    _pad_leaving_build_overhead(b, 1 << min_degree_bits, num_pis)
     data = b.build()
     common = data.common
+    assert common.degree_bits() == min_degree_bits, \
+        f"recursion shape needs min_degree_bits >= {common.degree_bits()}"
     # the cyclic circuit's public inputs: user PIs + verifier key
-    common.num_public_inputs = (num_extra_pis + 4
-                                + 4 * config.fri_config.num_cap_elements())
+    common.num_public_inputs = num_pis
     return common
+
+
+def _build_overhead(b: CircuitBuilder, num_pis: int) -> int:
+    """Rows build() will append: PI-hash Poseidon rows, the PublicInputGate,
+    and ConstantGates for still-unplaced deduped constants."""
+    pi_rows = -(-num_pis // 8) if num_pis else 0
+    pending_consts = max(0, len(b.constants_to_targets)
+                         - len(b.constant_generators))
+    const_rows = -(-pending_consts // max(b.config.num_constants, 1))
+    return pi_rows + 1 + const_rows + 8  # margin for hash-chain constants
+
+
+def _pad_leaving_build_overhead(b: CircuitBuilder, target: int,
+                                num_pis: int) -> None:
+    from ..plonk.gates.simple import NoopGate
+    overhead = _build_overhead(b, num_pis)
+    assert b.num_gates() + overhead <= target, \
+        f"circuit too large for degree target {target}"
+    while b.num_gates() + overhead < target:
+        b.add_gate(NoopGate(), [])
+
+
+def pad_to_common_degree(b: CircuitBuilder, common) -> None:
+    """Pad a cyclic circuit so build() lands exactly on common.degree()
+    (the reference tests' `while builder.num_gates() < 1 << 12` loop)."""
+    _pad_leaving_build_overhead(b, common.degree(), common.num_public_inputs)

@@ -1,0 +1,255 @@
+"""Witness generation + AllStark wiring for the mini-EVM pipeline
+(twin of reference evm/src/generation/mod.rs, witness/traces.rs and
+all_stark.rs).
+
+`simulate` runs a program on the reduced-ISA CPU (cpu.py), logging every
+memory access, arithmetic request and logic request into `Traces`
+(checkpoint/rollback as witness/traces.rs:20,51,62).  `generate_traces`
+turns the logs into the per-table trace arrays; `all_stark` assembles
+the table list and cross-table lookups (all_stark.rs:99
+all_cross_table_lookups); `prove_all` / `verify_all` run the shared
+transcript multi-table prover (stark/multi.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..field import gl64
+from ..stark.config import StarkConfig
+from ..stark.ctl import CrossTableLookup, TableWithColumns
+from ..stark.multi import prove_multi_table, verify_multi_table
+from .arithmetic import ArithmeticStark, Operation
+from .cpu import (ARITH_OPS, BINOPS, LOGIC_OPS, NUM_CHANNELS, OPS, SEG_CODE,
+                  SEG_MAIN, SEG_STACK, WORD_LIMBS, CpuStark, Instr)
+from .logic import LogicStark
+from .memory import MemoryOp, MemoryStark
+
+P = gl64.ORDER_INT
+WORD_MASK = (1 << 256) - 1
+
+# table indices (all_stark.rs:75 Table enum)
+CPU, MEMORY, LOGIC, ARITHMETIC = 0, 1, 2, 3
+
+
+@dataclass
+class Traces:
+    """Operation logs with checkpoint/rollback (witness/traces.rs)."""
+
+    memory_ops: list = field(default_factory=list)
+    arithmetic_ops: list = field(default_factory=list)
+    logic_ops: list = field(default_factory=list)
+    cpu_rows: list = field(default_factory=list)
+
+    def checkpoint(self) -> tuple:
+        return (len(self.memory_ops), len(self.arithmetic_ops),
+                len(self.logic_ops), len(self.cpu_rows))
+
+    def rollback(self, cp: tuple) -> None:
+        m, a, l, c = cp
+        del self.memory_ops[m:]
+        del self.arithmetic_ops[a:]
+        del self.logic_ops[l:]
+        del self.cpu_rows[c:]
+
+
+def _limbs(v: int) -> list:
+    return [(v >> (32 * j)) & 0xFFFFFFFF for j in range(WORD_LIMBS)]
+
+
+class Simulator:
+    """Executes a program, emitting CPU rows + table requests."""
+
+    def __init__(self, program: list, max_cycles: int = 10_000):
+        assert program and program[-1].op == "halt", \
+            "program must end with HALT"
+        self.program = program
+        self.cpu = CpuStark()
+        self.traces = Traces()
+        self.max_cycles = max_cycles
+
+    def run(self, main_init: dict | None = None) -> Traces:
+        cpu, t = self.cpu, self.traces
+        clock = 0
+        memory = {}  # (segment, virt) -> value
+        if main_init:
+            raise NotImplementedError("preload MAIN via MSTOREs instead")
+
+        def mem_access(row, ch, is_read, seg, virt, value):
+            row[cpu.CH_USED[ch]] = 1
+            row[cpu.CH_IS_READ[ch]] = int(is_read)
+            row[cpu.CH_SEGMENT[ch]] = seg
+            row[cpu.CH_VIRT[ch]] = virt
+            for j, v in enumerate(_limbs(value)):
+                row[cpu.CH_VALUE[ch][j]] = v
+            t.memory_ops.append(MemoryOp(
+                True, clock * NUM_CHANNELS + ch + 1, is_read, 0, seg,
+                virt, value))
+            if not is_read:
+                memory[(seg, virt)] = value
+            else:
+                assert memory.get((seg, virt), 0) == value
+            return value
+
+        # bootstrap: write the code image (2 words per instruction)
+        code = []
+        for ins in self.program:
+            code.append(OPS.index(ins.op))
+            code.append(ins.imm & WORD_MASK)
+        for i, word in enumerate(code):
+            row = np.zeros(cpu.COLUMNS, np.uint64)
+            row[cpu.IS_BOOTSTRAP] = 1
+            row[cpu.CLOCK] = clock
+            row[cpu.PC] = i
+            mem_access(row, 0, False, SEG_CODE, i, word)
+            t.cpu_rows.append(row)
+            clock += 1
+
+        # execution
+        pc = 0
+        stack = []
+        for _ in range(self.max_cycles):
+            ins = self.program[pc]
+            row = np.zeros(cpu.COLUMNS, np.uint64)
+            row[cpu.IS_CYCLE] = 1
+            row[cpu.CLOCK] = clock
+            row[cpu.PC] = pc
+            row[cpu.SP] = len(stack)
+            row[cpu.OP[ins.op]] = 1
+            for j, v in enumerate(_limbs(ins.imm & WORD_MASK)):
+                row[cpu.IMM.start + j] = v
+            mem_access(row, 0, True, SEG_CODE, 2 * pc, OPS.index(ins.op))
+            mem_access(row, 1, True, SEG_CODE, 2 * pc + 1,
+                       ins.imm & WORD_MASK)
+
+            next_pc = pc + 1
+            if ins.op == "push":
+                mem_access(row, 4, False, SEG_STACK, len(stack),
+                           ins.imm & WORD_MASK)
+                stack.append(ins.imm & WORD_MASK)
+            elif ins.op in BINOPS:
+                b = stack.pop()
+                a = stack.pop()
+                mem_access(row, 2, True, SEG_STACK, len(stack) + 1, b)
+                mem_access(row, 3, True, SEG_STACK, len(stack), a)
+                if ins.op in LOGIC_OPS:
+                    res = {"and": a & b, "or": a | b, "xor": a ^ b}[ins.op]
+                    t.logic_ops.append((ins.op, a, b))
+                else:
+                    op = Operation(ins.op, a, b)
+                    res = op.result(256)
+                    t.arithmetic_ops.append(op)
+                mem_access(row, 4, False, SEG_STACK, len(stack), res)
+                stack.append(res)
+            elif ins.op == "mload":
+                addr = stack.pop()
+                assert addr < (1 << 32), "MLOAD address must be one limb"
+                mem_access(row, 2, True, SEG_STACK, len(stack), addr)
+                val = memory.get((SEG_MAIN, addr), 0)
+                mem_access(row, 3, True, SEG_MAIN, addr, val)
+                mem_access(row, 4, False, SEG_STACK, len(stack), val)
+                stack.append(val)
+            elif ins.op == "mstore":
+                addr = stack.pop()
+                val = stack.pop()
+                assert addr < (1 << 32), "MSTORE address must be one limb"
+                mem_access(row, 2, True, SEG_STACK, len(stack) + 1, addr)
+                mem_access(row, 3, True, SEG_STACK, len(stack), val)
+                mem_access(row, 4, False, SEG_MAIN, addr, val)
+            elif ins.op == "jumpz":
+                cond = stack.pop()
+                mem_access(row, 2, True, SEG_STACK, len(stack), cond)
+                cond_sum = sum(_limbs(cond)) % P
+                taken = int(cond_sum == 0)
+                row[cpu.JUMP_TAKEN] = taken
+                row[cpu.COND_SUM_INV] = (pow(cond_sum, P - 2, P)
+                                         if cond_sum else 0)
+                next_pc = (ins.imm if taken else pc + 1)
+            elif ins.op == "halt":
+                t.cpu_rows.append(row)
+                clock += 1
+                self.final_stack = stack
+                self.final_memory = memory
+                return self.traces
+            else:
+                raise ValueError(ins.op)
+            t.cpu_rows.append(row)
+            clock += 1
+            pc = next_pc
+        raise RuntimeError("program did not halt within max_cycles")
+
+
+def generate_traces(program: list, include_arithmetic: bool = True,
+                    min_rows: int = 16) -> tuple:
+    """Run the program and build every table's trace
+    (generation/mod.rs:39 generate_traces)."""
+    sim = Simulator(program)
+    t = sim.run()
+    cpu = sim.cpu
+    n = 1 << max(max(len(t.cpu_rows), min_rows) - 1, 0).bit_length()
+    cpu_trace = np.zeros((cpu.COLUMNS, n), np.uint64)
+    for i, row in enumerate(t.cpu_rows):
+        cpu_trace[:, i] = row
+
+    memory = MemoryStark()
+    mem_trace = memory.generate_trace(t.memory_ops)
+    logic = LogicStark(val_bits=256)
+    logic_trace = logic.generate_trace(t.logic_ops, min_rows=min_rows)
+    traces = [cpu_trace, mem_trace, logic_trace]
+    starks = [cpu, memory, logic]
+    if include_arithmetic:
+        arith = ArithmeticStark(val_bits=256, limb_bits=16)
+        traces.append(arith.generate_trace(t.arithmetic_ops))
+        starks.append(arith)
+    return starks, traces, sim
+
+
+def all_cross_table_lookups(cpu: CpuStark, memory_t: MemoryStark,
+                            logic: LogicStark,
+                            arith: ArithmeticStark | None) -> list:
+    """(all_stark.rs:99) ctl_memory + ctl_logic (+ ctl_arithmetic)."""
+    from . import memory as memmod
+    ctls = [
+        CrossTableLookup(
+            looking_tables=tuple(
+                TableWithColumns(CPU, tuple(cpu.ctl_looking_memory(ch)),
+                                 cpu.ctl_looking_memory_filter(ch))
+                for ch in range(NUM_CHANNELS)),
+            looked_table=TableWithColumns(
+                MEMORY, tuple(memmod.ctl_data()), memmod.ctl_filter())),
+        CrossTableLookup(
+            looking_tables=(TableWithColumns(
+                CPU, tuple(cpu.ctl_looking_logic()),
+                cpu.ctl_looking_logic_filter()),),
+            looked_table=TableWithColumns(
+                LOGIC, tuple(logic.ctl_data()), logic.ctl_filter())),
+    ]
+    if arith is not None:
+        ctls.append(CrossTableLookup(
+            looking_tables=(TableWithColumns(
+                CPU, tuple(cpu.ctl_looking_arithmetic()),
+                cpu.ctl_looking_arithmetic_filter()),),
+            looked_table=TableWithColumns(
+                ARITHMETIC, tuple(arith.ctl_data()), arith.ctl_filter())))
+    return ctls
+
+
+def prove_program(program: list, config: StarkConfig = None,
+                  include_arithmetic: bool = True):
+    """End-to-end: simulate, build traces, joint multi-table proof
+    (evm/src/prover.rs:45 prove)."""
+    config = config or StarkConfig.standard_fast_config()
+    starks, traces, sim = generate_traces(program, include_arithmetic)
+    arith = starks[3] if include_arithmetic else None
+    ctls = all_cross_table_lookups(starks[0], starks[1], starks[2], arith)
+    proof = prove_multi_table(starks, ctls, config, traces)
+    return proof, starks, ctls, sim
+
+
+def verify_program_proof(starks: list, ctls: list, proof,
+                         config: StarkConfig = None) -> None:
+    """(evm/src/verifier.rs:29)"""
+    config = config or StarkConfig.standard_fast_config()
+    verify_multi_table(starks, ctls, proof, config)

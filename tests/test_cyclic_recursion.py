@@ -14,7 +14,8 @@ from plonky2_tpu.recursion import (add_virtual_proof_with_pis,
                                    set_verifier_data_target)
 from plonky2_tpu.recursion.cyclic import (check_cyclic_proof_verifier_data,
                                           common_data_for_recursion,
-                                          conditionally_verify_cyclic_proof_or_dummy)
+                                          conditionally_verify_cyclic_proof_or_dummy,
+                                          pad_to_common_degree)
 from plonky2_tpu.recursion.dummy import common_data_equal, cyclic_base_proof
 
 
@@ -58,6 +59,7 @@ def test_cyclic_recursion_ivc():
     b.connect(counter, b.add(inner_counter, condition))
 
     conditionally_verify_cyclic_proof_or_dummy(b, condition, inner_pt, common)
+    pad_to_common_degree(b, common)
     data = b.build()
     assert common_data_equal(data.common, common), (
         f"cyclic circuit shape diverged: degree {data.common.degree_bits()}"
