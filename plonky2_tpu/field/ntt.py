@@ -61,7 +61,12 @@ def _n_inv(n: int) -> GF:
 def _default_fused_stages() -> int:
     """Radix-8 passes on accelerators; plain radix-2 on the CPU backend,
     where LLVM's compile time explodes on the fused butterfly graphs
-    (tests run on CPU; the TPU compiles radix-8 fine and runs ~1.6x faster)."""
+    (tests run on CPU; the TPU compiles radix-8 fine and runs ~1.6x faster).
+    Override with PLONKY2_TPU_FUSED_STAGES for experiments."""
+    import os
+    env = os.environ.get("PLONKY2_TPU_FUSED_STAGES")
+    if env:
+        return int(env)
     try:
         import jax
         return 1 if jax.default_backend() == "cpu" else 3
