@@ -74,7 +74,10 @@ class MultiStarkOpeningSet:
 
 @dataclass
 class MultiTableStarkProof:
-    """(evm/src/proof.rs:87 StarkProof)"""
+    """(evm/src/proof.rs:87 StarkProof + :? StarkProofWithMetadata: the
+    challenger state at the start of this table's transcript phases,
+    recorded so per-table wrapper circuits can be proven independently
+    and chained by state equality — evm/src/prover.rs compact())."""
 
     trace_cap: object
     permutation_ctl_zs_cap: object
@@ -82,6 +85,7 @@ class MultiTableStarkProof:
     openings: MultiStarkOpeningSet
     opening_proof: FriProof
     degree_bits: int
+    init_challenger_state: np.ndarray = None
 
 
 @dataclass
@@ -154,10 +158,16 @@ def prove_multi_table(starks: list, ctls: list, config: StarkConfig,
 
     stark_proofs = []
     for i, stark in enumerate(starks):
+        # boundary compact: makes the shared transcript identical whether
+        # tables are verified monolithically or by independent wrapper
+        # circuits seeded from this state (evm/src/prover.rs:262)
+        init_state = challenger.compact()
         with timing.scope(f"prove table {i}"):
-            stark_proofs.append(prove_single_table(
+            p = prove_single_table(
                 stark, config, trace_poly_values[i], trace_commitments[i],
-                ctl_data_per_table[i], public_inputs[i], challenger, timing))
+                ctl_data_per_table[i], public_inputs[i], challenger, timing)
+            p.init_challenger_state = init_state
+            stark_proofs.append(p)
     return MultiProof(stark_proofs)
 
 
@@ -323,6 +333,7 @@ def _get_challenges_multi(starks: list, proof: MultiProof,
 
     all_challenges = []
     for stark, p in zip(starks, proof.stark_proofs):
+        challenger.compact()  # boundary, mirrors the prover
         challenge_sets = None
         if stark.uses_permutation_args():
             from .permutation import get_n_permutation_challenge_sets

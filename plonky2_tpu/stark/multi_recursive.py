@@ -256,6 +256,7 @@ def verify_multi_proof_circuit(b, starks: list, ctls: list, proof_ts: list,
     raw = get_grand_product_challenge_set(ch, config.num_challenges)
     ctl_challenges_t = wrap_ctl_challenges(b, raw)
     for i, (stark, pt) in enumerate(zip(starks, proof_ts)):
+        ch.compact()  # table boundary, mirrors the prover
         verify_table_circuit(b, ch, stark, i, ctls, ctl_challenges_t, pt,
                              config, degree_bits[i])
     verify_cross_table_lookups_circuit(

@@ -19,8 +19,9 @@ stark/multi.py):
 from .arithmetic import ArithmeticStark, Operation
 from .cpu import CpuStark, Instr
 from .generation import (Simulator, Traces, all_cross_table_lookups,
-                         generate_traces, prove_program,
+                         code_words, generate_traces, prove_program,
                          verify_program_proof)
+from .program import ProgramStark
 from .keccak import KeccakStark
 from .keccak_sponge import KeccakSpongeOp, KeccakSpongeStark
 from .logic import LogicStark

@@ -28,10 +28,10 @@ once in the memory table at timestamp clock*5 + ch + 1, so code fetches
 in loops are distinct memory reads — the strict-multiset CTL stays
 sound (memory_stark.rs ordering).
 
-Known gap vs the reference (tracked in PARITY.md): the program's *hash*
-is not yet bound to public values (the reference chains a keccak of the
-code during bootstrap, bootstrap_kernel.rs:60); a proof attests to the
-execution of the committed code image, not of externally-known code.
+Program binding: bootstrap rows are CTL'd to the program ROM table
+(program.py), whose trace commitment the verifier recomputes from the
+public code — the TPU-native analogue of the reference's bootstrap
+code-hash chain (bootstrap_kernel.rs:60).
 """
 
 from __future__ import annotations
@@ -145,6 +145,13 @@ class CpuStark(Stark):
 
     def ctl_looking_logic_filter(self) -> Column:
         return Column.sum_cols(self.OP[op] for op in LOGIC_OPS)
+
+    def ctl_looking_program(self) -> list:
+        """Bootstrap rows against the program ROM: (pc, code word)."""
+        return Column.singles([self.PC] + list(self.CH_VALUE[0]))
+
+    def ctl_looking_program_filter(self) -> Column:
+        return Column.single(self.IS_BOOTSTRAP)
 
     # ------------------------------------------------------------------
     # constraints

@@ -30,8 +30,18 @@ from .memory import MemoryOp, MemoryStark
 P = gl64.ORDER_INT
 WORD_MASK = (1 << 256) - 1
 
-# table indices (all_stark.rs:75 Table enum)
+# table indices (all_stark.rs:75 Table enum); PROGRAM is always last
 CPU, MEMORY, LOGIC, ARITHMETIC = 0, 1, 2, 3
+
+
+def code_words(program: list) -> list:
+    """The public code image: (opcode, immediate) word pair per
+    instruction, as bootstrapped into the CODE segment."""
+    words = []
+    for ins in program:
+        words.append(OPS.index(ins.op))
+        words.append(ins.imm & WORD_MASK)
+    return words
 
 
 @dataclass
@@ -94,10 +104,7 @@ class Simulator:
             return value
 
         # bootstrap: write the code image (2 words per instruction)
-        code = []
-        for ins in self.program:
-            code.append(OPS.index(ins.op))
-            code.append(ins.imm & WORD_MASK)
+        code = code_words(self.program)
         for i, word in enumerate(code):
             row = np.zeros(cpu.COLUMNS, np.uint64)
             row[cpu.IS_BOOTSTRAP] = 1
@@ -203,13 +210,20 @@ def generate_traces(program: list, include_arithmetic: bool = True,
         arith = ArithmeticStark(val_bits=256, limb_bits=16)
         traces.append(arith.generate_trace(t.arithmetic_ops))
         starks.append(arith)
+    from .program import ProgramStark
+    prog = ProgramStark()
+    traces.append(prog.generate_trace(code_words(program),
+                                      min_rows=min_rows))
+    starks.append(prog)
     return starks, traces, sim
 
 
 def all_cross_table_lookups(cpu: CpuStark, memory_t: MemoryStark,
                             logic: LogicStark,
-                            arith: ArithmeticStark | None) -> list:
-    """(all_stark.rs:99) ctl_memory + ctl_logic (+ ctl_arithmetic)."""
+                            arith: ArithmeticStark | None,
+                            program=None, program_table: int = None) -> list:
+    """(all_stark.rs:99) ctl_memory + ctl_logic (+ ctl_arithmetic)
+    + ctl_program (bootstrap rows against the program ROM)."""
     from . import memory as memmod
     ctls = [
         CrossTableLookup(
@@ -233,6 +247,14 @@ def all_cross_table_lookups(cpu: CpuStark, memory_t: MemoryStark,
                 cpu.ctl_looking_arithmetic_filter()),),
             looked_table=TableWithColumns(
                 ARITHMETIC, tuple(arith.ctl_data()), arith.ctl_filter())))
+    if program is not None:
+        ctls.append(CrossTableLookup(
+            looking_tables=(TableWithColumns(
+                CPU, tuple(cpu.ctl_looking_program()),
+                cpu.ctl_looking_program_filter()),),
+            looked_table=TableWithColumns(
+                program_table, tuple(program.ctl_data()),
+                program.ctl_filter())))
     return ctls
 
 
@@ -243,13 +265,34 @@ def prove_program(program: list, config: StarkConfig = None,
     config = config or StarkConfig.standard_fast_config()
     starks, traces, sim = generate_traces(program, include_arithmetic)
     arith = starks[3] if include_arithmetic else None
-    ctls = all_cross_table_lookups(starks[0], starks[1], starks[2], arith)
+    ctls = all_cross_table_lookups(starks[0], starks[1], starks[2], arith,
+                                   program=starks[-1],
+                                   program_table=len(starks) - 1)
     proof = prove_multi_table(starks, ctls, config, traces)
     return proof, starks, ctls, sim
 
 
 def verify_program_proof(starks: list, ctls: list, proof,
-                         config: StarkConfig = None) -> None:
-    """(evm/src/verifier.rs:29)"""
+                         config: StarkConfig = None,
+                         program: list = None) -> None:
+    """(evm/src/verifier.rs:29).  When the public `program` is given, the
+    program ROM's trace commitment is recomputed from it and pinned
+    against the proof — binding the executed code image to the public
+    program (the TPU-native analogue of the reference's bootstrap code
+    hash; see zkevm/program.py)."""
     config = config or StarkConfig.standard_fast_config()
     verify_multi_table(starks, ctls, proof, config)
+    if program is not None:
+        from ..field.goldilocks import GF
+        from ..fri.oracle import PolynomialBatch
+        from .program import ProgramStark
+        prog = starks[-1]
+        assert isinstance(prog, ProgramStark), "program table must be last"
+        n = 1 << proof.stark_proofs[-1].degree_bits
+        trace = prog.generate_trace(code_words(program), min_rows=n)
+        assert trace.shape[-1] == n, "program trace size mismatch"
+        expect = PolynomialBatch.from_values(
+            GF.from_u64(trace), config.fri_config.rate_bits, False,
+            config.fri_config.cap_height)
+        assert expect.merkle_tree.cap == proof.stark_proofs[-1].trace_cap, \
+            "program ROM commitment does not match the public program"

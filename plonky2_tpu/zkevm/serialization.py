@@ -1,0 +1,78 @@
+"""Binary serialization of multi-table STARK proofs (checkpoint/resume
+parity with the reference's Read/Write layer for AllProof,
+util/serialization/mod.rs + evm/src/proof.rs)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..stark.multi import (MultiProof, MultiStarkOpeningSet,
+                           MultiTableStarkProof)
+from ..utils.serialization import Buffer, read_fri_proof, write_fri_proof
+
+
+def _write_ext_matrix(buf: Buffer, m: np.ndarray) -> None:
+    buf.write_usize(m.shape[0])
+    for row in np.asarray(m, np.uint64):
+        buf.write_ext(row)
+
+
+def _read_ext_matrix(buf: Buffer) -> np.ndarray:
+    n = buf.read_usize()
+    return np.stack([buf.read_ext() for _ in range(n)]) if n else \
+        np.zeros((0, 2), np.uint64)
+
+
+def write_multi_stark_proof(buf: Buffer, p: MultiTableStarkProof) -> None:
+    buf.write_usize(p.degree_bits)
+    buf.write_cap(p.trace_cap)
+    buf.write_cap(p.permutation_ctl_zs_cap)
+    buf.write_cap(p.quotient_polys_cap)
+    o = p.openings
+    _write_ext_matrix(buf, o.local_values)
+    _write_ext_matrix(buf, o.next_values)
+    _write_ext_matrix(buf, o.permutation_ctl_zs)
+    _write_ext_matrix(buf, o.permutation_ctl_zs_next)
+    buf.write_usize(len(o.ctl_zs_last))
+    buf.write_field_vec(np.asarray(o.ctl_zs_last, np.uint64))
+    _write_ext_matrix(buf, o.quotient_polys)
+    write_fri_proof(buf, p.opening_proof)
+
+
+def read_multi_stark_proof(buf: Buffer) -> MultiTableStarkProof:
+    degree_bits = buf.read_usize()
+    trace_cap = buf.read_cap()
+    zs_cap = buf.read_cap()
+    quot_cap = buf.read_cap()
+    local_values = _read_ext_matrix(buf)
+    next_values = _read_ext_matrix(buf)
+    zs = _read_ext_matrix(buf)
+    zs_next = _read_ext_matrix(buf)
+    n_ctl = buf.read_usize()
+    ctl_zs_last = buf.read_field_vec(n_ctl)
+    quotient_polys = _read_ext_matrix(buf)
+    opening_proof = read_fri_proof(buf)
+    return MultiTableStarkProof(
+        trace_cap=trace_cap,
+        permutation_ctl_zs_cap=zs_cap,
+        quotient_polys_cap=quot_cap,
+        openings=MultiStarkOpeningSet(
+            local_values=local_values, next_values=next_values,
+            permutation_ctl_zs=zs, permutation_ctl_zs_next=zs_next,
+            ctl_zs_last=ctl_zs_last, quotient_polys=quotient_polys),
+        opening_proof=opening_proof,
+        degree_bits=degree_bits)
+
+
+def multi_proof_to_bytes(proof: MultiProof) -> bytes:
+    buf = Buffer()
+    buf.write_usize(len(proof.stark_proofs))
+    for p in proof.stark_proofs:
+        write_multi_stark_proof(buf, p)
+    return buf.bytes()
+
+
+def multi_proof_from_bytes(data: bytes) -> MultiProof:
+    buf = Buffer(data)
+    n = buf.read_usize()
+    return MultiProof([read_multi_stark_proof(buf) for _ in range(n)])

@@ -72,12 +72,14 @@ def test_cpu_trace_air():
 
 
 def test_mini_evm_ctl_consistency():
-    """All four tables tie together over the CTLs for a looping program
-    with arithmetic, logic and memory traffic."""
+    """All tables (incl. the program ROM) tie together over the CTLs for
+    a looping program with arithmetic, logic and memory traffic."""
     starks, traces, _ = generate_traces(LOOP_PROGRAM,
                                         include_arithmetic=True)
-    cpu, memory, logic, arith = starks
-    ctls = all_cross_table_lookups(cpu, memory, logic, arith)
+    cpu, memory, logic, arith, program = starks
+    ctls = all_cross_table_lookups(cpu, memory, logic, arith,
+                                   program=program,
+                                   program_table=len(starks) - 1)
     check_ctls(traces, ctls)
     # every AIR is satisfied (arithmetic checked on a truncated slice of
     # its 2^16-row range table would be meaningless; check in full)
@@ -98,11 +100,17 @@ def test_cpu_bad_jump_rejected():
 
 
 def test_mini_evm_prove_verify():
-    """Joint CPU+memory+logic proof with one shared transcript
-    (evm/src/prover.rs:45 / verifier.rs:29 shape)."""
+    """Joint CPU+memory+logic+program proof with one shared transcript
+    (evm/src/prover.rs:45 / verifier.rs:29 shape), with the program ROM
+    commitment pinned to the public program."""
     from plonky2_tpu.zkevm.generation import (prove_program,
                                               verify_program_proof)
     proof, starks, ctls, sim = prove_program(LOGIC_PROGRAM,
                                              include_arithmetic=False)
     assert sim.final_stack == [7]
-    verify_program_proof(starks, ctls, proof)
+    verify_program_proof(starks, ctls, proof, program=LOGIC_PROGRAM)
+    # a different public program must be rejected
+    other = list(LOGIC_PROGRAM)
+    other[0] = Instr("push", 6)
+    with pytest.raises(AssertionError):
+        verify_program_proof(starks, ctls, proof, program=other)
