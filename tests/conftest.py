@@ -35,3 +35,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_memory():
+    """Drop in-memory compiled executables between test modules.
+
+    A full-suite run accumulates every compiled graph + its buffers in one
+    process (>60 GB by the tail, ending in allocator segfaults).  The
+    persistent on-disk cache makes re-tracing cheap, so trade a little
+    re-trace time for bounded memory."""
+    yield
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
