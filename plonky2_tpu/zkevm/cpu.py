@@ -18,6 +18,11 @@ ISA (each op = one row; stack top at STACK[sp-1], sp = stack_len):
   AND/OR/XOR      pop b, pop a, push op(a, b)   sp-1   (logic CTL)
   MLOAD           pop addr, push MAIN[addr]     sp
   MSTORE          pop addr, pop val, MAIN[addr]=val   sp-2
+  MSTORE8         pop addr, pop byte, BYTES[addr]=byte   sp-2
+                  (byte-ness enforced by in-row bit decomposition)
+  KECCAK          pop addr, pop len, push keccak256(BYTES[addr..+len])
+                  sp-1  (CTL to the KeccakSponge table, which reads the
+                  bytes from the memory table itself)
   JUMPZ imm       pop cond; pc = imm if cond == 0 else pc+1   sp-1
   HALT            last cycle row
 
@@ -51,10 +56,14 @@ NUM_CHANNELS = 5
 SEG_CODE = 1
 SEG_STACK = 2
 SEG_MAIN = 3
+SEG_BYTES = 4   # byte-granular data region (keccak preimages)
+# timestamp slot for a KECCAK op's sponge row (slot 0: channels use 1..5)
+KECCAK_TS_CH = 0
 
 # opcode numbering (decode constraint: sum(flag_i * i) == opcode)
 OPS = ("push", "add", "mul", "sub", "div", "mod", "lt", "gt",
-       "and", "or", "xor", "mload", "mstore", "jumpz", "halt")
+       "and", "or", "xor", "mload", "mstore", "jumpz", "halt",
+       "mstore8", "keccak")
 ARITH_OPS = ("add", "mul", "sub", "div", "mod", "lt", "gt")
 LOGIC_OPS = ("and", "or", "xor")
 BINOPS = ARITH_OPS + LOGIC_OPS
@@ -80,12 +89,15 @@ class CpuStark(Stark):
         self.PC = next(c)
         self.SP = next(c)
         self.OP = {op: next(c) for op in OPS}
-        self.IMM = range(self.OP["halt"] + 1,
-                         self.OP["halt"] + 1 + WORD_LIMBS)
+        last_flag = max(self.OP.values())
+        self.IMM = range(last_flag + 1, last_flag + 1 + WORD_LIMBS)
         # JUMPZ: taken flag + condition-sum inverse witness
         self.JUMP_TAKEN = self.IMM.stop
         self.COND_SUM_INV = self.JUMP_TAKEN + 1
-        ch = self.COND_SUM_INV + 1
+        # MSTORE8: bit decomposition of the stored byte
+        self.BYTE_BITS = range(self.COND_SUM_INV + 1,
+                               self.COND_SUM_INV + 9)
+        ch = self.BYTE_BITS.stop
         self.CH_USED, self.CH_IS_READ, self.CH_SEGMENT, self.CH_VIRT, \
             self.CH_VALUE = [], [], [], [], []
         for _ in range(NUM_CHANNELS):
@@ -152,6 +164,19 @@ class CpuStark(Stark):
 
     def ctl_looking_program_filter(self) -> Column:
         return Column.single(self.IS_BOOTSTRAP)
+
+    def ctl_looking_keccak_sponge(self) -> list:
+        """KECCAK op against the sponge table's looked row:
+        (ctx, segment, virt, len, timestamp, hash as 8 u32s)."""
+        return [Column.constant_col(0), Column.constant_col(SEG_BYTES),
+                Column.single(self.CH_VALUE[2][0]),   # addr
+                Column.single(self.CH_VALUE[3][0]),   # len
+                Column.linear([(self.CLOCK, NUM_CHANNELS)],
+                              constant=KECCAK_TS_CH)] + \
+            Column.singles(self.CH_VALUE[4])
+
+    def ctl_looking_keccak_sponge_filter(self) -> Column:
+        return Column.single(self.OP["keccak"])
 
     # ------------------------------------------------------------------
     # constraints
@@ -233,24 +258,27 @@ class CpuStark(Stark):
             is_binop = is_binop + lv[self.OP[op]]
         is_mload = lv[self.OP["mload"]]
         is_mstore = lv[self.OP["mstore"]]
+        is_mstore8 = lv[self.OP["mstore8"]]
+        is_keccak = lv[self.OP["keccak"]]
         is_jumpz = lv[self.OP["jumpz"]]
 
         # --- channel shapes per op class
-        # ch2: first pop (binop: b @ sp-1; mload: addr; mstore: addr;
-        #      jumpz: cond)
-        pop1 = is_binop + is_mload + is_mstore + is_jumpz
+        # ch2: first pop (binop: b @ sp-1; mload/mstore/mstore8: addr;
+        #      keccak: addr; jumpz: cond)
+        pop1 = (is_binop + is_mload + is_mstore + is_mstore8 + is_keccak
+                + is_jumpz)
         self._channel(ctx, yield_constr, lv, 2, pop1, is_read=one,
                       segment=SEG_STACK, virt=sp - one)
-        # ch3: second pop (binop: a @ sp-2; mstore: value @ sp-2)
+        # ch3: second pop (binop: a; mstore/mstore8: value; keccak: len)
         #      or MAIN read for mload (virt = addr limb0)
-        pop2 = is_binop + is_mstore
+        pop2 = is_binop + is_mstore + is_mstore8 + is_keccak
         self._channel(ctx, yield_constr, lv, 3, pop2, is_read=one,
                       segment=SEG_STACK, virt=sp - one - one)
         self._channel(ctx, yield_constr, lv, 3, is_mload, is_read=one,
                       segment=SEG_MAIN, virt=lv[self.CH_VALUE[2][0]])
-        # ch4: result push (binop @ sp-2), mload push (@ sp-1),
-        #      mstore MAIN write, push imm (@ sp)
-        self._channel(ctx, yield_constr, lv, 4, is_binop,
+        # ch4: result push (binop/keccak @ sp-2), mload push (@ sp-1),
+        #      mstore/mstore8 writes, push imm (@ sp)
+        self._channel(ctx, yield_constr, lv, 4, is_binop + is_keccak,
                       is_read=ctx.zero(), segment=SEG_STACK,
                       virt=sp - one - one)
         self._channel(ctx, yield_constr, lv, 4, is_mload,
@@ -259,6 +287,9 @@ class CpuStark(Stark):
         self._channel(ctx, yield_constr, lv, 4, is_mstore,
                       is_read=ctx.zero(), segment=SEG_MAIN,
                       virt=lv[self.CH_VALUE[2][0]])
+        self._channel(ctx, yield_constr, lv, 4, is_mstore8,
+                      is_read=ctx.zero(), segment=SEG_BYTES,
+                      virt=lv[self.CH_VALUE[2][0]])
         self._channel(ctx, yield_constr, lv, 4, is_push,
                       is_read=ctx.zero(), segment=SEG_STACK, virt=sp)
         # pushed value is the immediate
@@ -266,28 +297,40 @@ class CpuStark(Stark):
             yield_constr.constraint(
                 is_push * (lv[self.CH_VALUE[4][j]]
                            - lv[self.IMM.start + j]))
-        # mload pushes what was read; mstore writes what was popped
+        # mload pushes what was read; stores write what was popped
         for j in range(WORD_LIMBS):
             yield_constr.constraint(
                 is_mload * (lv[self.CH_VALUE[4][j]]
                             - lv[self.CH_VALUE[3][j]]))
             yield_constr.constraint(
-                is_mstore * (lv[self.CH_VALUE[4][j]]
-                             - lv[self.CH_VALUE[3][j]]))
-        # addresses are single-limb
+                (is_mstore + is_mstore8) * (lv[self.CH_VALUE[4][j]]
+                                            - lv[self.CH_VALUE[3][j]]))
+        # addresses / lengths are single-limb
         for j in range(1, WORD_LIMBS):
             yield_constr.constraint(
-                (is_mload + is_mstore) * lv[self.CH_VALUE[2][j]])
+                (is_mload + is_mstore + is_mstore8 + is_keccak)
+                * lv[self.CH_VALUE[2][j]])
+            yield_constr.constraint(
+                (is_mstore8 + is_keccak) * lv[self.CH_VALUE[3][j]])
+        # mstore8: the stored value is one byte (bit decomposition)
+        byte_sum = ctx.zero()
+        for i, col in enumerate(self.BYTE_BITS):
+            bit = lv[col]
+            yield_constr.constraint(is_mstore8 * bit * (bit - one))
+            byte_sum = byte_sum + bit * ctx.constant(1 << i)
+        yield_constr.constraint(
+            is_mstore8 * (lv[self.CH_VALUE[3][0]] - byte_sum))
         # channel used flags: exactly the ops above
         used2, used3, used4 = pop1, pop2 + is_mload, \
-            is_binop + is_mload + is_mstore + is_push
+            (is_binop + is_keccak + is_mload + is_mstore + is_mstore8
+             + is_push)
         yield_constr.constraint(cyc * (lv[self.CH_USED[2]] - used2))
         yield_constr.constraint(cyc * (lv[self.CH_USED[3]] - used3))
         yield_constr.constraint(cyc * (lv[self.CH_USED[4]] - used4))
 
         # --- stack-pointer transition
-        delta = (is_push - is_binop - is_jumpz
-                 - (is_mstore + is_mstore))
+        delta = (is_push - is_binop - is_keccak - is_jumpz
+                 - (is_mstore + is_mstore) - (is_mstore8 + is_mstore8))
         yield_constr.constraint_transition(
             ncyc * cyc * (nv[self.SP] - sp - delta))
 

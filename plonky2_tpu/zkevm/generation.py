@@ -22,8 +22,9 @@ from ..stark.config import StarkConfig
 from ..stark.ctl import CrossTableLookup, TableWithColumns
 from ..stark.multi import prove_multi_table, verify_multi_table
 from .arithmetic import ArithmeticStark, Operation
-from .cpu import (ARITH_OPS, BINOPS, LOGIC_OPS, NUM_CHANNELS, OPS, SEG_CODE,
-                  SEG_MAIN, SEG_STACK, WORD_LIMBS, CpuStark, Instr)
+from .cpu import (ARITH_OPS, BINOPS, KECCAK_TS_CH, LOGIC_OPS, NUM_CHANNELS,
+                  OPS, SEG_BYTES, SEG_CODE, SEG_MAIN, SEG_STACK, WORD_LIMBS,
+                  CpuStark, Instr)
 from .logic import LogicStark
 from .memory import MemoryOp, MemoryStark
 
@@ -51,17 +52,20 @@ class Traces:
     memory_ops: list = field(default_factory=list)
     arithmetic_ops: list = field(default_factory=list)
     logic_ops: list = field(default_factory=list)
+    sponge_ops: list = field(default_factory=list)
     cpu_rows: list = field(default_factory=list)
 
     def checkpoint(self) -> tuple:
         return (len(self.memory_ops), len(self.arithmetic_ops),
-                len(self.logic_ops), len(self.cpu_rows))
+                len(self.logic_ops), len(self.sponge_ops),
+                len(self.cpu_rows))
 
     def rollback(self, cp: tuple) -> None:
-        m, a, l, c = cp
+        m, a, l, s, c = cp
         del self.memory_ops[m:]
         del self.arithmetic_ops[a:]
         del self.logic_ops[l:]
+        del self.sponge_ops[s:]
         del self.cpu_rows[c:]
 
 
@@ -165,6 +169,35 @@ class Simulator:
                 mem_access(row, 2, True, SEG_STACK, len(stack) + 1, addr)
                 mem_access(row, 3, True, SEG_STACK, len(stack), val)
                 mem_access(row, 4, False, SEG_MAIN, addr, val)
+            elif ins.op == "mstore8":
+                addr = stack.pop()
+                val = stack.pop()
+                assert addr < (1 << 32) and val < 256, "MSTORE8 operands"
+                mem_access(row, 2, True, SEG_STACK, len(stack) + 1, addr)
+                mem_access(row, 3, True, SEG_STACK, len(stack), val)
+                for i, b in enumerate(f"{val:08b}"[::-1]):
+                    row[cpu.BYTE_BITS.start + i] = int(b)
+                mem_access(row, 4, False, SEG_BYTES, addr, val)
+            elif ins.op == "keccak":
+                addr = stack.pop()
+                length = stack.pop()
+                assert addr < (1 << 32) and length < (1 << 32)
+                mem_access(row, 2, True, SEG_STACK, len(stack) + 1, addr)
+                mem_access(row, 3, True, SEG_STACK, len(stack), length)
+                data = bytes(memory.get((SEG_BYTES, addr + i), 0)
+                             for i in range(length))
+                from .keccak_sponge import KeccakSpongeOp, KeccakSpongeStark
+                sponge_ts = clock * NUM_CHANNELS + KECCAK_TS_CH
+                op_s = KeccakSpongeOp(0, SEG_BYTES, addr, sponge_ts, data)
+                t.sponge_ops.append(op_s)
+                # the sponge's per-byte reads appear in the memory table
+                for i, b in enumerate(data):
+                    t.memory_ops.append(MemoryOp(
+                        True, sponge_ts, True, 0, SEG_BYTES, addr + i, b))
+                digest = KeccakSpongeStark().hash_of(op_s)
+                h = int.from_bytes(digest, "little")
+                mem_access(row, 4, False, SEG_STACK, len(stack), h)
+                stack.append(h)
             elif ins.op == "jumpz":
                 cond = stack.pop()
                 mem_access(row, 2, True, SEG_STACK, len(stack), cond)
@@ -188,10 +221,36 @@ class Simulator:
         raise RuntimeError("program did not halt within max_cycles")
 
 
+def sponge_derived_requests(sponge, sponge_trace: np.ndarray) -> tuple:
+    """The keccak-f permutation calls and rate-XOR logic requests implied
+    by a sponge trace (what the sponge delegates over CTLs)."""
+    perm_inputs = []
+    logic_ops = []
+    filt = gl64.to_canonical(
+        sponge.ctl_looking_keccak_filter().eval_rows(sponge_trace))
+    for r in np.nonzero(filt)[0]:
+        xored = [int(sponge_trace[i, r]) for i in sponge.XORED_RATE]
+        cap = [int(sponge_trace[i, r]) for i in sponge.ORIGINAL_CAPACITY]
+        chunks = xored + cap
+        perm_inputs.append([chunks[2 * i] | (chunks[2 * i + 1] << 32)
+                            for i in range(25)])
+        rate = [int(sponge_trace[i, r]) for i in sponge.ORIGINAL_RATE]
+        block = [int(sponge_trace[i, r]) for i in sponge.BLOCK_BYTES]
+        for i in range(sponge.num_logic_ctls()):
+            a = sum(v << (32 * j)
+                    for j, v in enumerate(rate[8 * i:8 * i + 8]))
+            b = sum(v << (8 * j)
+                    for j, v in enumerate(block[32 * i:32 * i + 32]))
+            logic_ops.append(("xor", a, b))
+    return perm_inputs, logic_ops
+
+
 def generate_traces(program: list, include_arithmetic: bool = True,
                     min_rows: int = 16) -> tuple:
     """Run the program and build every table's trace
-    (generation/mod.rs:39 generate_traces)."""
+    (generation/mod.rs:39 generate_traces).  Table order: cpu, memory,
+    logic, [arithmetic], [keccak_sponge, keccak], program (always last;
+    the keccak pair is present only when the program hashes)."""
     sim = Simulator(program)
     t = sim.run()
     cpu = sim.cpu
@@ -203,13 +262,34 @@ def generate_traces(program: list, include_arithmetic: bool = True,
     memory = MemoryStark()
     mem_trace = memory.generate_trace(t.memory_ops)
     logic = LogicStark(val_bits=256)
-    logic_trace = logic.generate_trace(t.logic_ops, min_rows=min_rows)
+    logic_ops = list(t.logic_ops)
+
+    sponge_pair = None
+    if t.sponge_ops:
+        from .keccak import KeccakStark
+        from .keccak_sponge import KeccakSpongeStark
+        sponge = KeccakSpongeStark()
+        sponge_trace = sponge.generate_trace(t.sponge_ops,
+                                             min_rows=min_rows)
+        perm_inputs, sponge_logic = sponge_derived_requests(sponge,
+                                                            sponge_trace)
+        logic_ops += sponge_logic
+        keccak = KeccakStark()
+        keccak_trace = keccak.generate_trace(perm_inputs,
+                                             min_rows=min_rows)
+        sponge_pair = (sponge, sponge_trace, keccak, keccak_trace)
+
+    logic_trace = logic.generate_trace(logic_ops, min_rows=min_rows)
     traces = [cpu_trace, mem_trace, logic_trace]
     starks = [cpu, memory, logic]
     if include_arithmetic:
         arith = ArithmeticStark(val_bits=256, limb_bits=16)
         traces.append(arith.generate_trace(t.arithmetic_ops))
         starks.append(arith)
+    if sponge_pair is not None:
+        sponge, sponge_trace, keccak, keccak_trace = sponge_pair
+        starks += [sponge, keccak]
+        traces += [sponge_trace, keccak_trace]
     from .program import ProgramStark
     prog = ProgramStark()
     traces.append(prog.generate_trace(code_words(program),
@@ -218,43 +298,90 @@ def generate_traces(program: list, include_arithmetic: bool = True,
     return starks, traces, sim
 
 
-def all_cross_table_lookups(cpu: CpuStark, memory_t: MemoryStark,
-                            logic: LogicStark,
-                            arith: ArithmeticStark | None,
-                            program=None, program_table: int = None) -> list:
-    """(all_stark.rs:99) ctl_memory + ctl_logic (+ ctl_arithmetic)
-    + ctl_program (bootstrap rows against the program ROM)."""
+def all_cross_table_lookups(starks: list) -> list:
+    """(all_stark.rs:99) the full CTL wiring for a table list produced by
+    `generate_traces`: memory bus (CPU channels + sponge byte reads),
+    logic bus (CPU bitwise ops + sponge rate XORs), arithmetic bus,
+    sponge/keccak-f link, CPU->sponge hash requests, and the program ROM
+    binding.  Table roles are identified by type."""
     from . import memory as memmod
+    from .keccak import KeccakStark
+    from .keccak_sponge import KeccakSpongeStark
+    from .program import ProgramStark
+
+    idx = {type(s).__name__: i for i, s in enumerate(starks)}
+    cpu = starks[idx["CpuStark"]]
+    logic = starks[idx["LogicStark"]]
+    arith = (starks[idx["ArithmeticStark"]]
+             if "ArithmeticStark" in idx else None)
+    sponge = (starks[idx["KeccakSpongeStark"]]
+              if "KeccakSpongeStark" in idx else None)
+
+    mem_looking = [
+        TableWithColumns(idx["CpuStark"],
+                         tuple(cpu.ctl_looking_memory(ch)),
+                         cpu.ctl_looking_memory_filter(ch))
+        for ch in range(NUM_CHANNELS)]
+    logic_looking = [
+        TableWithColumns(idx["CpuStark"], tuple(cpu.ctl_looking_logic()),
+                         cpu.ctl_looking_logic_filter())]
+    if sponge is not None:
+        si = idx["KeccakSpongeStark"]
+        mem_looking += [
+            TableWithColumns(si, tuple(sponge.ctl_looking_memory(i)),
+                             sponge.ctl_looking_memory_filter(i))
+            for i in range(136)]
+        logic_looking += [
+            TableWithColumns(si, tuple(sponge.ctl_looking_logic(i)),
+                             sponge.ctl_looking_logic_filter())
+            for i in range(sponge.num_logic_ctls())]
+
     ctls = [
         CrossTableLookup(
-            looking_tables=tuple(
-                TableWithColumns(CPU, tuple(cpu.ctl_looking_memory(ch)),
-                                 cpu.ctl_looking_memory_filter(ch))
-                for ch in range(NUM_CHANNELS)),
+            looking_tables=tuple(mem_looking),
             looked_table=TableWithColumns(
-                MEMORY, tuple(memmod.ctl_data()), memmod.ctl_filter())),
+                idx["MemoryStark"], tuple(memmod.ctl_data()),
+                memmod.ctl_filter())),
         CrossTableLookup(
-            looking_tables=(TableWithColumns(
-                CPU, tuple(cpu.ctl_looking_logic()),
-                cpu.ctl_looking_logic_filter()),),
+            looking_tables=tuple(logic_looking),
             looked_table=TableWithColumns(
-                LOGIC, tuple(logic.ctl_data()), logic.ctl_filter())),
+                idx["LogicStark"], tuple(logic.ctl_data()),
+                logic.ctl_filter())),
     ]
     if arith is not None:
         ctls.append(CrossTableLookup(
             looking_tables=(TableWithColumns(
-                CPU, tuple(cpu.ctl_looking_arithmetic()),
+                idx["CpuStark"], tuple(cpu.ctl_looking_arithmetic()),
                 cpu.ctl_looking_arithmetic_filter()),),
             looked_table=TableWithColumns(
-                ARITHMETIC, tuple(arith.ctl_data()), arith.ctl_filter())))
-    if program is not None:
+                idx["ArithmeticStark"], tuple(arith.ctl_data()),
+                arith.ctl_filter())))
+    if sponge is not None:
+        keccak = starks[idx["KeccakStark"]]
         ctls.append(CrossTableLookup(
             looking_tables=(TableWithColumns(
-                CPU, tuple(cpu.ctl_looking_program()),
-                cpu.ctl_looking_program_filter()),),
+                idx["KeccakSpongeStark"],
+                tuple(sponge.ctl_looking_keccak()),
+                sponge.ctl_looking_keccak_filter()),),
             looked_table=TableWithColumns(
-                program_table, tuple(program.ctl_data()),
-                program.ctl_filter())))
+                idx["KeccakStark"], tuple(keccak.ctl_data()),
+                keccak.ctl_filter())))
+        ctls.append(CrossTableLookup(
+            looking_tables=(TableWithColumns(
+                idx["CpuStark"], tuple(cpu.ctl_looking_keccak_sponge()),
+                cpu.ctl_looking_keccak_sponge_filter()),),
+            looked_table=TableWithColumns(
+                idx["KeccakSpongeStark"],
+                tuple(sponge.ctl_looked_data()),
+                sponge.ctl_looked_filter())))
+    prog = starks[idx["ProgramStark"]]
+    ctls.append(CrossTableLookup(
+        looking_tables=(TableWithColumns(
+            idx["CpuStark"], tuple(cpu.ctl_looking_program()),
+            cpu.ctl_looking_program_filter()),),
+        looked_table=TableWithColumns(
+            idx["ProgramStark"], tuple(prog.ctl_data()),
+            prog.ctl_filter())))
     return ctls
 
 
@@ -264,10 +391,7 @@ def prove_program(program: list, config: StarkConfig = None,
     (evm/src/prover.rs:45 prove)."""
     config = config or StarkConfig.standard_fast_config()
     starks, traces, sim = generate_traces(program, include_arithmetic)
-    arith = starks[3] if include_arithmetic else None
-    ctls = all_cross_table_lookups(starks[0], starks[1], starks[2], arith,
-                                   program=starks[-1],
-                                   program_table=len(starks) - 1)
+    ctls = all_cross_table_lookups(starks)
     proof = prove_multi_table(starks, ctls, config, traces)
     return proof, starks, ctls, sim
 

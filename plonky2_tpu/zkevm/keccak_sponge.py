@@ -124,8 +124,10 @@ class KeccakSpongeStark(Stark):
             [Column.single(self.TIMESTAMP)]
 
     def ctl_looking_memory_filter(self, i: int) -> Column:
+        """Byte i is read on full blocks, or on a final block whose
+        length exceeds i (pad bytes are not memory reads)."""
         return Column.sum_cols([self.IS_FULL_INPUT_BLOCK]
-                               + list(self.IS_FINAL_INPUT_LEN[i:]))
+                               + list(self.IS_FINAL_INPUT_LEN[i + 1:]))
 
     def num_logic_ctls(self) -> int:
         return -(-KECCAK_RATE_BYTES // 32)

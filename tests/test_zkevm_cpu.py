@@ -76,10 +76,7 @@ def test_mini_evm_ctl_consistency():
     a looping program with arithmetic, logic and memory traffic."""
     starks, traces, _ = generate_traces(LOOP_PROGRAM,
                                         include_arithmetic=True)
-    cpu, memory, logic, arith, program = starks
-    ctls = all_cross_table_lookups(cpu, memory, logic, arith,
-                                   program=program,
-                                   program_table=len(starks) - 1)
+    ctls = all_cross_table_lookups(starks)
     check_ctls(traces, ctls)
     # every AIR is satisfied (arithmetic checked on a truncated slice of
     # its 2^16-row range table would be meaningless; check in full)
@@ -99,6 +96,31 @@ def test_cpu_bad_jump_rejected():
         check_constraints_on_trace(cpu, trace)
 
 
+def test_keccak_opcode_pipeline():
+    """KECCAK/MSTORE8 ops: the CPU requests a hash from the sponge table,
+    which delegates to the keccak-f, logic and memory tables — the whole
+    six-table CTL web must be consistent and every AIR satisfied."""
+    from plonky2_tpu.hash.keccak import keccak256
+
+    prog = []
+    data = b"abc"
+    for i, b in enumerate(data):
+        prog += [Instr("push", b), Instr("push", 10 + i), Instr("mstore8")]
+    prog += [Instr("push", len(data)), Instr("push", 10),
+             Instr("keccak"), Instr("halt")]
+
+    sim = Simulator(prog)
+    sim.run()
+    assert sim.final_stack == [int.from_bytes(keccak256(data), "little")]
+
+    starks, traces, _ = generate_traces(prog, include_arithmetic=False)
+    assert len(starks) == 6  # cpu, memory, logic, sponge, keccak, program
+    ctls = all_cross_table_lookups(starks)
+    check_ctls(traces, ctls)
+    for stark, trace in zip(starks, traces):
+        check_constraints_on_trace(stark, trace)
+
+
 def test_mini_evm_prove_verify():
     """Joint CPU+memory+logic+program proof with one shared transcript
     (evm/src/prover.rs:45 / verifier.rs:29 shape), with the program ROM
@@ -114,3 +136,19 @@ def test_mini_evm_prove_verify():
     other[0] = Instr("push", 6)
     with pytest.raises(AssertionError):
         verify_program_proof(starks, ctls, proof, program=other)
+
+
+def test_keccak_pipeline_prove_verify():
+    """Six-table proof: CPU hashing memory bytes through the sponge,
+    keccak-f, logic and memory tables plus the program ROM."""
+    from plonky2_tpu.zkevm.generation import (prove_program,
+                                              verify_program_proof)
+    prog = [Instr("push", 0x61), Instr("push", 10), Instr("mstore8"),
+            Instr("push", 0x62), Instr("push", 11), Instr("mstore8"),
+            Instr("push", 2), Instr("push", 10), Instr("keccak"),
+            Instr("halt")]
+    proof, starks, ctls, sim = prove_program(prog,
+                                             include_arithmetic=False)
+    from plonky2_tpu.hash.keccak import keccak256
+    assert sim.final_stack == [int.from_bytes(keccak256(b"ab"), "little")]
+    verify_program_proof(starks, ctls, proof, program=prog)
