@@ -222,3 +222,54 @@ def exp_power_of_2(a: int, power_log: int) -> int:
     for _ in range(power_log):
         r = (r * r) % ORDER_INT
     return r
+
+
+def ntt_np(coeffs: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Host radix-2 NTT along the last axis (natural in, natural out).
+
+    Ground-truth oracle for the device NTT (`field/ntt.py`) and the
+    distributed four-step NTT — vectorised numpy, so it stays cheap up to
+    ~2^20 points without any XLA compile.  Matches the evaluation
+    convention of reference field/src/fft.rs:52 (coeffs -> values at
+    w^k); `inverse` applies w^-k twiddles and the 1/n scale.
+    """
+    from ..utils.bits import log2_strict, reverse_index_bits_perm
+
+    x = np.asarray(coeffs, dtype=np.uint64)
+    n = x.shape[-1]
+    log_n = log2_strict(n)
+    x = to_canonical(np.take(x, reverse_index_bits_perm(n), axis=-1))
+    w_n = primitive_root_of_unity(log_n)
+    if inverse:
+        w_n = pow(w_n, ORDER_INT - 2, ORDER_INT)
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        w_m = pow(w_n, n >> s, ORDER_INT)
+        tw = powers(w_m, m >> 1)
+        y = x.reshape(x.shape[:-1] + (n >> s, m))
+        even, odd = y[..., : m >> 1], y[..., m >> 1 :]
+        t = mul(odd, tw)
+        x = np.concatenate([add(even, t), sub(even, t)], axis=-1)
+        x = x.reshape(y.shape[:-2] + (n,))
+    if inverse:
+        x = mul(x, np.uint64(pow(n, ORDER_INT - 2, ORDER_INT)))
+    return to_canonical(x)
+
+
+def intt_np(values: np.ndarray) -> np.ndarray:
+    """Host inverse NTT (values -> coefficients)."""
+    return ntt_np(values, inverse=True)
+
+
+def coset_ntt_np(coeffs: np.ndarray, shift: int) -> np.ndarray:
+    """Evaluate over the coset shift*H (reference coset_fft)."""
+    c = np.asarray(coeffs, dtype=np.uint64)
+    return ntt_np(mul(c, powers(shift, c.shape[-1])))
+
+
+def lde_np(coeffs: np.ndarray, rate_bits: int, shift: int) -> np.ndarray:
+    """Host low-degree extension: zero-pad to n<<rate_bits, coset NTT."""
+    c = np.asarray(coeffs, dtype=np.uint64)
+    n = c.shape[-1]
+    pad = np.zeros(c.shape[:-1] + (n * ((1 << rate_bits) - 1),), np.uint64)
+    return coset_ntt_np(np.concatenate([c, pad], axis=-1), shift)

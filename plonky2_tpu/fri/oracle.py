@@ -12,6 +12,7 @@ same quotient, but parallel instead of a length-n dependency chain.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -59,11 +60,15 @@ class PolynomialBatch:
         leaf_cols = lde_values
         if blinding:
             # SALT_SIZE random columns so leaf openings reveal nothing about
-            # the committed values (fri/oracle.rs:109-126)
-            rng = np.random.default_rng()
-            salt = GF.from_u64(rng.integers(
-                0, gl64.ORDER_INT, size=(SALT_SIZE, n << rate_bits),
-                dtype=np.uint64))
+            # the committed values (fri/oracle.rs:109-126).  Salts must be
+            # unpredictable for the zero-knowledge property to hold, so they
+            # come from the OS CSPRNG (reference uses OsRng), rejection-free
+            # reduced mod p (p is within 2^-32 of 2^64; the bias is
+            # cryptographically negligible, matching Field::sample).
+            count = SALT_SIZE * (n << rate_bits)
+            raw = np.frombuffer(os.urandom(8 * count), dtype=np.uint64)
+            salt = GF.from_u64(gl64.to_canonical(raw).reshape(
+                SALT_SIZE, n << rate_bits))
             leaf_cols = GF.concatenate([lde_values, salt], axis=0)
         # rows of the evaluation matrix become Merkle leaves, in bit-reversed
         # order (reference fri/oracle.rs:81-100)
