@@ -29,9 +29,13 @@ ISA (each op = one row; stack top at STACK[sp-1], sp = stack_len):
 Channels: 0 = fetch opcode word (CODE[2*pc]), 1 = fetch immediate word
 (CODE[2*pc+1]), 2..4 = general purpose.  On bootstrap rows channel 0
 writes code word pc instead.  Every used channel row appears exactly
-once in the memory table at timestamp clock*5 + ch + 1, so code fetches
-in loops are distinct memory reads — the strict-multiset CTL stays
-sound (memory_stark.rs ordering).
+once in the memory table at timestamp clock*(NUM_CHANNELS+1) + ch + 1
+— slot 0 of each clock is reserved for the KECCAK sponge's byte reads,
+so no two memory rows of different producers can share a timestamp (a
+shared (addr, ts) pair would let the prover order a sponge read before
+the same-cycle-neighbourhood MSTORE8 write and hash stale bytes).  Code
+fetches in loops are distinct memory reads — the strict-multiset CTL
+stays sound (memory_stark.rs ordering).
 
 Program binding: bootstrap rows are CTL'd to the program ROM table
 (program.py), whose trace commitment the verifier recomputes from the
@@ -57,7 +61,8 @@ SEG_CODE = 1
 SEG_STACK = 2
 SEG_MAIN = 3
 SEG_BYTES = 4   # byte-granular data region (keccak preimages)
-# timestamp slot for a KECCAK op's sponge row (slot 0: channels use 1..5)
+# per-clock timestamp slots: sponge reads at slot 0, channels at 1..5
+TS_STRIDE = NUM_CHANNELS + 1
 KECCAK_TS_CH = 0
 
 # opcode numbering (decode constraint: sum(flag_i * i) == opcode)
@@ -114,8 +119,8 @@ class CpuStark(Stark):
 
     def ctl_looking_memory(self, ch: int) -> list:
         """Memory-bus row for channel ch: (is_read, ctx, seg, virt,
-        value8, timestamp = clock*NUM_CHANNELS + ch + 1)."""
-        ts = Column.linear([(self.CLOCK, NUM_CHANNELS)],
+        value8, timestamp = clock*TS_STRIDE + ch + 1)."""
+        ts = Column.linear([(self.CLOCK, TS_STRIDE)],
                            constant=ch + 1)
         return [Column.single(self.CH_IS_READ[ch]),
                 Column.constant_col(0),  # context
@@ -171,7 +176,7 @@ class CpuStark(Stark):
         return [Column.constant_col(0), Column.constant_col(SEG_BYTES),
                 Column.single(self.CH_VALUE[2][0]),   # addr
                 Column.single(self.CH_VALUE[3][0]),   # len
-                Column.linear([(self.CLOCK, NUM_CHANNELS)],
+                Column.linear([(self.CLOCK, TS_STRIDE)],
                               constant=KECCAK_TS_CH)] + \
             Column.singles(self.CH_VALUE[4])
 

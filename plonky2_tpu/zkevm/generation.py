@@ -23,8 +23,8 @@ from ..stark.ctl import CrossTableLookup, TableWithColumns
 from ..stark.multi import prove_multi_table, verify_multi_table
 from .arithmetic import ArithmeticStark, Operation
 from .cpu import (ARITH_OPS, BINOPS, KECCAK_TS_CH, LOGIC_OPS, NUM_CHANNELS,
-                  OPS, SEG_BYTES, SEG_CODE, SEG_MAIN, SEG_STACK, WORD_LIMBS,
-                  CpuStark, Instr)
+                  OPS, SEG_BYTES, SEG_CODE, SEG_MAIN, SEG_STACK, TS_STRIDE,
+                  WORD_LIMBS, CpuStark, Instr)
 from .logic import LogicStark
 from .memory import MemoryOp, MemoryStark
 
@@ -99,7 +99,7 @@ class Simulator:
             for j, v in enumerate(_limbs(value)):
                 row[cpu.CH_VALUE[ch][j]] = v
             t.memory_ops.append(MemoryOp(
-                True, clock * NUM_CHANNELS + ch + 1, is_read, 0, seg,
+                True, clock * TS_STRIDE + ch + 1, is_read, 0, seg,
                 virt, value))
             if not is_read:
                 memory[(seg, virt)] = value
@@ -187,7 +187,7 @@ class Simulator:
                 data = bytes(memory.get((SEG_BYTES, addr + i), 0)
                              for i in range(length))
                 from .keccak_sponge import KeccakSpongeOp, KeccakSpongeStark
-                sponge_ts = clock * NUM_CHANNELS + KECCAK_TS_CH
+                sponge_ts = clock * TS_STRIDE + KECCAK_TS_CH
                 op_s = KeccakSpongeOp(0, SEG_BYTES, addr, sponge_ts, data)
                 t.sponge_ops.append(op_s)
                 # the sponge's per-byte reads appear in the memory table

@@ -280,5 +280,29 @@ class KeccakSpongeStark(Stark):
         for i, f in enumerate(finals):
             yield_constr.constraint(f * (offset - ctx.constant(i)))
 
+        # pad10*1 enforcement on the final block.  Pad bytes feed
+        # XORED_RATE via the logic CTL but are excluded from the memory
+        # CTL, so without these constraints a malicious prover could
+        # absorb arbitrary padding and prove a wrong digest for a given
+        # (addr, len).  With f_i the final-len flags and
+        # s_j = sum_{i<j} f_i ("byte j lies strictly past the input
+        # end"; linear in the flags), the pattern is pinned exactly:
+        #   first pad byte:  f_j * (byte_j - 1) = 0            (j < 135)
+        #                    f_135 * (byte_135 - 0x81) = 0     (1 | 0x80)
+        #   interior zeros:  s_j * byte_j = 0             (1 <= j <= 134)
+        #   closing byte:    s_135 * (byte_135 - 0x80) = 0
+        bytes_ = [lv[i] for i in self.BLOCK_BYTES]
+        last = KECCAK_RATE_BYTES - 1
+        for j in range(last):
+            yield_constr.constraint(finals[j] * (bytes_[j] - one))
+        yield_constr.constraint(
+            finals[last] * (bytes_[last] - ctx.constant(0x81)))
+        s = ctx.zero()
+        for j in range(1, last):
+            s = s + finals[j - 1]
+            yield_constr.constraint(s * bytes_[j])
+        s = s + finals[last - 1]
+        yield_constr.constraint(s * (bytes_[last] - ctx.constant(0x80)))
+
     def constraint_degree(self) -> int:
         return 3

@@ -204,6 +204,19 @@ class MemoryStark(Stark):
             yield_constr.constraint_transition(
                 next_is_read * unchanged * (next_values[i] - values[i]))
 
+        # reads at a fresh (never-written) address return 0 — the
+        # deterministic-machine rule the simulator assumes
+        # (Simulator.mem_access: memory.get(..., 0)).  Without it MLOAD
+        # or the sponge's byte reads over unwritten addresses could
+        # return arbitrary prover-chosen values.  The first row of a new
+        # address group is exactly where (cfc + sfc + vfc) is set on the
+        # previous row; the very first table row is covered separately.
+        first_change = cfc + sfc + vfc
+        for i in range(VALUE_LIMBS):
+            yield_constr.constraint_transition(
+                first_change * next_is_read * next_values[i])
+            yield_constr.constraint_first_row(lv[IS_READ] * values[i])
+
         eval_lookups(ctx, vars, yield_constr, RANGE_CHECK_PERMUTED,
                      COUNTER_PERMUTED)
 

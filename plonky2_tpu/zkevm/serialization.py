@@ -37,6 +37,14 @@ def write_multi_stark_proof(buf: Buffer, p: MultiTableStarkProof) -> None:
     buf.write_field_vec(np.asarray(o.ctl_zs_last, np.uint64))
     _write_ext_matrix(buf, o.quotient_polys)
     write_fri_proof(buf, p.opening_proof)
+    # challenger boundary state (StarkProofWithMetadata): staged per-table
+    # recursion asserts its presence, so round-tripped proofs must carry
+    # it.  Presence flag + the 12-felt sponge state.
+    if p.init_challenger_state is None:
+        buf.write_u8(0)
+    else:
+        buf.write_u8(1)
+        buf.write_field_vec(np.asarray(p.init_challenger_state, np.uint64))
 
 
 def read_multi_stark_proof(buf: Buffer) -> MultiTableStarkProof:
@@ -52,6 +60,7 @@ def read_multi_stark_proof(buf: Buffer) -> MultiTableStarkProof:
     ctl_zs_last = buf.read_field_vec(n_ctl)
     quotient_polys = _read_ext_matrix(buf)
     opening_proof = read_fri_proof(buf)
+    init_state = buf.read_field_vec(12) if buf.read_u8() else None
     return MultiTableStarkProof(
         trace_cap=trace_cap,
         permutation_ctl_zs_cap=zs_cap,
@@ -61,7 +70,8 @@ def read_multi_stark_proof(buf: Buffer) -> MultiTableStarkProof:
             permutation_ctl_zs=zs, permutation_ctl_zs_next=zs_next,
             ctl_zs_last=ctl_zs_last, quotient_polys=quotient_polys),
         opening_proof=opening_proof,
-        degree_bits=degree_bits)
+        degree_bits=degree_bits,
+        init_challenger_state=init_state)
 
 
 def multi_proof_to_bytes(proof: MultiProof) -> bytes:

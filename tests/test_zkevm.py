@@ -210,3 +210,28 @@ def test_zkevm_multi_table_prove_verify():
     config = StarkConfig.standard_fast_config()
     proof = prove_multi_table(starks, ctls, config, traces)
     verify_multi_table(starks, ctls, proof, config)
+
+
+def test_memory_fresh_read_must_be_zero():
+    """A read at a never-written address is pinned to value 0 (the
+    simulator's deterministic semantics); a prover-chosen value must be
+    rejected by the AIR."""
+    stark = MemoryStark()
+    ops = [MemoryOp(True, 1, False, 0, 3, 0, 11),   # write MAIN[0] = 11
+           MemoryOp(True, 2, True, 0, 3, 0, 11),    # read it back
+           MemoryOp(True, 3, True, 0, 3, 5, 0)]     # fresh read -> 0
+    trace = stark.generate_trace(ops)
+    check_constraints_on_trace(stark, trace)
+    from plonky2_tpu.zkevm.memory import ADDR_VIRTUAL, value_limb
+    bad = trace.copy()
+    cols = np.nonzero(gl64.to_canonical(bad[ADDR_VIRTUAL]) == 5)[0]
+    bad[value_limb(0), cols] = 99   # forge the fresh read's value
+    with pytest.raises(AssertionError):
+        check_constraints_on_trace(stark, bad)
+    # forging the very first row (if it were a read) is also rejected
+    bad2 = trace.copy()
+    bad2[value_limb(0), 0] = 99
+    assert gl64.to_canonical(bad2[2, 0]) == 0  # first row is the write
+    bad2[2, 0] = 1  # flip to read with nonzero value
+    with pytest.raises(AssertionError):
+        check_constraints_on_trace(stark, bad2)

@@ -113,3 +113,17 @@ def test_sponge_keccak_and_logic_ctls():
     check_constraints_on_trace(sponge, sponge_trace)
     check_constraints_on_trace(keccak, keccak_trace)
     check_constraints_on_trace(logic, logic_trace)
+
+
+def test_sponge_bad_padding_rejected():
+    """pad10*1 must be enforced (a forged pad would change the digest)."""
+    stark = KeccakSpongeStark()
+    trace = stark.generate_trace([_op(b"hello")], min_rows=4)
+    # final row: input len 5 -> byte 5 is the 0x01 pad, byte 135 is 0x80
+    for col, bad in ((stark.BLOCK_BYTES[5], 0),       # drop the 1
+                     (stark.BLOCK_BYTES[6], 7),       # nonzero interior
+                     (stark.BLOCK_BYTES[135], 0)):    # drop the 0x80
+        t = trace.copy()
+        t[col, 0] = bad
+        with pytest.raises(AssertionError):
+            check_constraints_on_trace(stark, t)

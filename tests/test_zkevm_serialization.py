@@ -33,3 +33,22 @@ def test_multi_proof_round_trip():
     except AssertionError:
         return
     raise AssertionError("tampered serialized proof accepted")
+
+
+def test_round_trip_preserves_challenger_state():
+    """Staged per-table recursion needs init_challenger_state; a
+    deserialized proof must still carry it (12-felt sponge state)."""
+    mul = _mul_trace()
+    req1, req2 = _req_traces(mul)
+    starks = [MulStark(), ReqStark(), Req2Stark()]
+    ctls = _ctls()
+    config = StarkConfig.standard_fast_config()
+    proof = prove_multi_table(starks, ctls, config, [mul, req1, req2])
+    rt = multi_proof_from_bytes(multi_proof_to_bytes(proof))
+    for orig, back in zip(proof.stark_proofs, rt.stark_proofs):
+        assert orig.init_challenger_state is not None
+        assert back.init_challenger_state is not None
+        assert np.array_equal(np.asarray(orig.init_challenger_state,
+                                         np.uint64),
+                              np.asarray(back.init_challenger_state,
+                                         np.uint64))
