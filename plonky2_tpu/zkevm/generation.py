@@ -1,14 +1,21 @@
-"""Witness generation + AllStark wiring for the mini-EVM pipeline
-(twin of reference evm/src/generation/mod.rs, witness/traces.rs and
+"""Witness generation + AllStark wiring for the zkEVM pipeline (twin of
+reference evm/src/generation/mod.rs, witness/{traces,transition}.rs and
 all_stark.rs).
 
-`simulate` runs a program on the reduced-ISA CPU (cpu.py), logging every
-memory access, arithmetic request and logic request into `Traces`
-(checkpoint/rollback as witness/traces.rs:20,51,62).  `generate_traces`
-turns the logs into the per-table trace arrays; `all_stark` assembles
-the table list and cross-table lookups (all_stark.rs:99
-all_cross_table_lookups); `prove_all` / `verify_all` run the shared
-transcript multi-table prover (stark/multi.py).
+`Simulator` executes the kernel (and optionally a user program) on the
+full CPU (cpu.py), logging every memory access, arithmetic/logic
+request, keccak sponge call and CPU row into `Traces`
+(checkpoint/rollback as witness/traces.rs:20).  It doubles as the
+off-chain `Interpreter` for kernel unit tests (kernel/interpreter.rs:39)
+— run with trace=False to skip witness logging.  User-mode faults trap
+through the exception jumptable exactly as the AIR requires
+(witness/transition.rs); kernel code is trusted and asserts instead.
+
+`generate_traces` turns the logs into per-table trace arrays;
+`all_cross_table_lookups` assembles the CTL wiring (all_stark.rs:99);
+`prove_program` / `verify_program_proof` run the shared-transcript
+multi-table prover (stark/multi.py), with the bootstrap image bound to
+the public kernel + user code through the program ROM (program.py).
 """
 
 from __future__ import annotations
@@ -22,27 +29,32 @@ from ..stark.config import StarkConfig
 from ..stark.ctl import CrossTableLookup, TableWithColumns
 from ..stark.multi import prove_multi_table, verify_multi_table
 from .arithmetic import ArithmeticStark, Operation
-from .cpu import (ARITH_OPS, BINOPS, KECCAK_TS_CH, LOGIC_OPS, NUM_CHANNELS,
-                  OPS, SEG_BYTES, SEG_CODE, SEG_MAIN, SEG_STACK, TS_STRIDE,
-                  WORD_LIMBS, CpuStark, Instr)
+from .cpu import (KECCAK_TS_CH, LOGIC_OPS, NUM_CHANNELS, SEG_BYTES,
+                  SEG_CODE, SEG_GLOBAL, SEG_JUMPDEST, SEG_JUMPTABLE,
+                  SEG_MAIN, SEG_SHIFT, SEG_STACK, TS_STRIDE, WORD_LIMBS,
+                  CpuStark)
+from .kernel import KERNEL
+from .kernel.aggregator import (GLOBAL_BLOCK_GASLIMIT, GLOBAL_EXC_STATUS,
+                                user_opcode_is_valid)
 from .logic import LogicStark
 from .memory import MemoryOp, MemoryStark
+from .opcodes import (EXC_INVALID_JUMP, EXC_INVALID_JUMPI,
+                      EXC_INVALID_OPCODE, EXC_OUT_OF_GAS,
+                      EXC_STACK_OVERFLOW, EXC_STACK_UNDERFLOW,
+                      MAX_USER_STACK_SIZE, decode_native, min_stack_len)
 
 P = gl64.ORDER_INT
 WORD_MASK = (1 << 256) - 1
+U32 = 1 << 32
 
-# table indices (all_stark.rs:75 Table enum); PROGRAM is always last
+# canonical table indices (all_stark.rs:75 Table enum); PROGRAM last
 CPU, MEMORY, LOGIC, ARITHMETIC = 0, 1, 2, 3
 
+ARITH_NATIVE = {"add", "mul", "sub", "div", "mod", "lt", "gt", "byte",
+                "addmod", "mulmod", "addfp254", "mulfp254", "subfp254"}
 
-def code_words(program: list) -> list:
-    """The public code image: (opcode, immediate) word pair per
-    instruction, as bootstrapped into the CODE segment."""
-    words = []
-    for ins in program:
-        words.append(OPS.index(ins.op))
-        words.append(ins.imm & WORD_MASK)
-    return words
+# user opcodes that grow the stack via their syscall handler (GAS)
+SYSCALL_STACK_INCREASING = {0x5A}
 
 
 @dataclass
@@ -73,157 +85,449 @@ def _limbs(v: int) -> list:
     return [(v >> (32 * j)) & 0xFFFFFFFF for j in range(WORD_LIMBS)]
 
 
+def _inv(x: int) -> int:
+    return pow(x % P, P - 2, P) if x % P else 0
+
+
+class Halted(Exception):
+    pass
+
+
 class Simulator:
-    """Executes a program, emitting CPU rows + table requests."""
+    """Executes the kernel + user program, emitting CPU rows and table
+    requests (generation/state.rs GenerationState + the transition
+    function, witness/transition.rs).  With trace=False it is the
+    off-chain Interpreter (kernel/interpreter.rs:39)."""
 
-    def __init__(self, program: list, max_cycles: int = 10_000):
-        assert program and program[-1].op == "halt", \
-            "program must end with HALT"
-        self.program = program
-        self.cpu = CpuStark()
-        self.traces = Traces()
+    def __init__(self, user_code: list | None = None, kernel=None,
+                 global_values: dict | None = None, prover_inputs=(),
+                 max_cycles: int = 30_000, trace: bool = True):
+        self.kernel = kernel or KERNEL
+        self.user_code = list(user_code or [])
+        self.global_values = dict(global_values or {})
+        self.gas_limit = self.global_values.get(
+            GLOBAL_BLOCK_GASLIMIT, U32 - 1)
+        self.prover_inputs = list(prover_inputs)
+        self._pi_cursor = 0
         self.max_cycles = max_cycles
+        self.trace = trace
+        self.cpu = CpuStark(main_pc=self.kernel.main_pc)
+        self.traces = Traces()
+        self.image = self.kernel.image(self.user_code, self.global_values)
+        self.memory = {}
+        self.stack = []
+        self.pc = self.kernel.main_pc
+        self.gas = 0
+        self.kern = 1
+        self.clock = 0
+        self.halted = False
 
-    def run(self, main_init: dict | None = None) -> Traces:
-        cpu, t = self.cpu, self.traces
-        clock = 0
-        memory = {}  # (segment, virt) -> value
-        if main_init:
-            raise NotImplementedError("preload MAIN via MSTOREs instead")
+    # ---------------------------------------------------------- helpers
 
-        def mem_access(row, ch, is_read, seg, virt, value):
+    def _row(self) -> np.ndarray:
+        return np.zeros(self.cpu.COLUMNS, np.uint64)
+
+    def _mem(self, row, ch, is_read, seg, virt, value) -> int:
+        cpu = self.cpu
+        if row is not None:
             row[cpu.CH_USED[ch]] = 1
             row[cpu.CH_IS_READ[ch]] = int(is_read)
             row[cpu.CH_SEGMENT[ch]] = seg
             row[cpu.CH_VIRT[ch]] = virt
             for j, v in enumerate(_limbs(value)):
                 row[cpu.CH_VALUE[ch][j]] = v
-            t.memory_ops.append(MemoryOp(
-                True, clock * TS_STRIDE + ch + 1, is_read, 0, seg,
+            self.traces.memory_ops.append(MemoryOp(
+                True, self.clock * TS_STRIDE + ch + 1, is_read, 0, seg,
                 virt, value))
-            if not is_read:
-                memory[(seg, virt)] = value
-            else:
-                assert memory.get((seg, virt), 0) == value
-            return value
+        if is_read:
+            assert self.memory.get((seg, virt), 0) == value, \
+                (seg, virt, value)
+        else:
+            self.memory[(seg, virt)] = value
+        return value
 
-        # bootstrap: write the code image (2 words per instruction)
-        code = code_words(self.program)
-        for i, word in enumerate(code):
-            row = np.zeros(cpu.COLUMNS, np.uint64)
-            row[cpu.IS_BOOTSTRAP] = 1
-            row[cpu.CLOCK] = clock
-            row[cpu.PC] = i
-            mem_access(row, 0, False, SEG_CODE, i, word)
-            t.cpu_rows.append(row)
-            clock += 1
+    def _read(self, row, ch, seg, virt) -> int:
+        return self._mem(row, ch, True, seg, virt,
+                         self.memory.get((seg, virt), 0))
 
-        # execution
-        pc = 0
-        stack = []
+    def _emit(self, row) -> None:
+        if row is not None:
+            self.traces.cpu_rows.append(row)
+        self.clock += 1
+
+    def _pop(self, row, ch) -> int:
+        v = self.stack.pop()
+        self._read(row, ch, SEG_STACK, len(self.stack))
+        return v
+
+    def _push(self, row, value) -> None:
+        value &= WORD_MASK
+        self._mem(row, 4, False, SEG_STACK, len(self.stack), value)
+        self.stack.append(value)
+
+    # ------------------------------------------------------------- run
+
+    def run(self):
+        self._bootstrap()
         for _ in range(self.max_cycles):
-            ins = self.program[pc]
-            row = np.zeros(cpu.COLUMNS, np.uint64)
-            row[cpu.IS_CYCLE] = 1
-            row[cpu.CLOCK] = clock
-            row[cpu.PC] = pc
-            row[cpu.SP] = len(stack)
-            row[cpu.OP[ins.op]] = 1
-            for j, v in enumerate(_limbs(ins.imm & WORD_MASK)):
-                row[cpu.IMM.start + j] = v
-            mem_access(row, 0, True, SEG_CODE, 2 * pc, OPS.index(ins.op))
-            mem_access(row, 1, True, SEG_CODE, 2 * pc + 1,
-                       ins.imm & WORD_MASK)
-
-            next_pc = pc + 1
-            if ins.op == "push":
-                mem_access(row, 4, False, SEG_STACK, len(stack),
-                           ins.imm & WORD_MASK)
-                stack.append(ins.imm & WORD_MASK)
-            elif ins.op in BINOPS:
-                b = stack.pop()
-                a = stack.pop()
-                mem_access(row, 2, True, SEG_STACK, len(stack) + 1, b)
-                mem_access(row, 3, True, SEG_STACK, len(stack), a)
-                if ins.op in LOGIC_OPS:
-                    res = {"and": a & b, "or": a | b, "xor": a ^ b}[ins.op]
-                    t.logic_ops.append((ins.op, a, b))
-                else:
-                    op = Operation(ins.op, a, b)
-                    res = op.result(256)
-                    t.arithmetic_ops.append(op)
-                mem_access(row, 4, False, SEG_STACK, len(stack), res)
-                stack.append(res)
-            elif ins.op == "mload":
-                addr = stack.pop()
-                assert addr < (1 << 32), "MLOAD address must be one limb"
-                mem_access(row, 2, True, SEG_STACK, len(stack), addr)
-                val = memory.get((SEG_MAIN, addr), 0)
-                mem_access(row, 3, True, SEG_MAIN, addr, val)
-                mem_access(row, 4, False, SEG_STACK, len(stack), val)
-                stack.append(val)
-            elif ins.op == "mstore":
-                addr = stack.pop()
-                val = stack.pop()
-                assert addr < (1 << 32), "MSTORE address must be one limb"
-                mem_access(row, 2, True, SEG_STACK, len(stack) + 1, addr)
-                mem_access(row, 3, True, SEG_STACK, len(stack), val)
-                mem_access(row, 4, False, SEG_MAIN, addr, val)
-            elif ins.op == "mstore8":
-                addr = stack.pop()
-                val = stack.pop()
-                assert addr < (1 << 32) and val < 256, "MSTORE8 operands"
-                mem_access(row, 2, True, SEG_STACK, len(stack) + 1, addr)
-                mem_access(row, 3, True, SEG_STACK, len(stack), val)
-                for i, b in enumerate(f"{val:08b}"[::-1]):
-                    row[cpu.BYTE_BITS.start + i] = int(b)
-                mem_access(row, 4, False, SEG_BYTES, addr, val)
-            elif ins.op == "keccak":
-                addr = stack.pop()
-                length = stack.pop()
-                assert addr < (1 << 32) and length < (1 << 32)
-                mem_access(row, 2, True, SEG_STACK, len(stack) + 1, addr)
-                mem_access(row, 3, True, SEG_STACK, len(stack), length)
-                data = bytes(memory.get((SEG_BYTES, addr + i), 0)
-                             for i in range(length))
-                from .keccak_sponge import KeccakSpongeOp, KeccakSpongeStark
-                sponge_ts = clock * TS_STRIDE + KECCAK_TS_CH
-                op_s = KeccakSpongeOp(0, SEG_BYTES, addr, sponge_ts, data)
-                t.sponge_ops.append(op_s)
-                # the sponge's per-byte reads appear in the memory table
-                for i, b in enumerate(data):
-                    t.memory_ops.append(MemoryOp(
-                        True, sponge_ts, True, 0, SEG_BYTES, addr + i, b))
-                digest = KeccakSpongeStark().hash_of(op_s)
-                h = int.from_bytes(digest, "little")
-                mem_access(row, 4, False, SEG_STACK, len(stack), h)
-                stack.append(h)
-            elif ins.op == "jumpz":
-                cond = stack.pop()
-                mem_access(row, 2, True, SEG_STACK, len(stack), cond)
-                cond_sum = sum(_limbs(cond)) % P
-                taken = int(cond_sum == 0)
-                row[cpu.JUMP_TAKEN] = taken
-                row[cpu.COND_SUM_INV] = (pow(cond_sum, P - 2, P)
-                                         if cond_sum else 0)
-                next_pc = (ins.imm if taken else pc + 1)
-            elif ins.op == "halt":
-                t.cpu_rows.append(row)
-                clock += 1
-                self.final_stack = stack
-                self.final_memory = memory
+            try:
+                self.step()
+            except Halted:
+                self.final_stack = list(self.stack)
+                self.exc_status = self.memory.get(
+                    (SEG_GLOBAL, GLOBAL_EXC_STATUS), 0)
                 return self.traces
-            else:
-                raise ValueError(ins.op)
-            t.cpu_rows.append(row)
-            clock += 1
-            pc = next_pc
         raise RuntimeError("program did not halt within max_cycles")
 
+    def _bootstrap(self) -> None:
+        """Write the image five entries per clock
+        (cpu/bootstrap_kernel.rs, packed onto all channels)."""
+        cpu = self.cpu
+        for i in range(0, len(self.image), NUM_CHANNELS):
+            chunk = self.image[i:i + NUM_CHANNELS]
+            row = self._row() if self.trace else None
+            if row is not None:
+                row[cpu.IS_BOOTSTRAP] = 1
+                row[cpu.CLOCK] = self.clock
+            for ch, (seg, virt, value) in enumerate(chunk):
+                if row is not None:
+                    row[cpu.BOOT_USED[ch]] = 1
+                self._mem(row, ch, False, seg, virt, value)
+            self._emit(row)
+
+    def step(self) -> None:
+        cpu = self.cpu
+        pc, sp, kern = self.pc, len(self.stack), self.kern
+        opcode = self.memory.get((SEG_CODE, 2 * pc), 0)
+        assert opcode < 256, f"corrupt opcode word at pc {pc}"
+        nop = decode_native(opcode, bool(kern))
+
+        # user-mode fault detection (witness/transition.rs ordering)
+        if not kern:
+            if self.gas > self.gas_limit:
+                return self._exception(EXC_OUT_OF_GAS)
+            if not user_opcode_is_valid(opcode):
+                return self._exception(EXC_INVALID_OPCODE)
+            if sp < min_stack_len(opcode):
+                return self._exception(EXC_STACK_UNDERFLOW)
+            grows = (nop is not None and nop.sp_delta == 1) or \
+                (nop is None and opcode in SYSCALL_STACK_INCREASING)
+            if sp == MAX_USER_STACK_SIZE and grows:
+                return self._exception(EXC_STACK_OVERFLOW)
+            if nop is not None and nop.name in ("jump", "jumpi"):
+                exc = self._jump_fault(nop.name)
+                if exc is not None:
+                    return self._exception(exc)
+
+        if nop is None:
+            return self._syscall(opcode)
+
+        row = self._cycle_row(opcode) if self.trace else None
+        getattr(self, "_op_" + nop.name)(row, nop)
+        if nop.gas is not None:
+            self.gas += nop.gas
+        self._emit(row)
+
+    def _cycle_row(self, opcode: int) -> np.ndarray:
+        cpu, row = self.cpu, self._row()
+        row[cpu.IS_CYCLE] = 1
+        row[cpu.CLOCK] = self.clock
+        row[cpu.PC] = self.pc
+        row[cpu.SP] = len(self.stack)
+        row[cpu.GAS] = self.gas
+        row[cpu.IS_KERNEL] = self.kern
+        for i in range(8):
+            row[cpu.OPCODE_BITS[i]] = (opcode >> i) & 1
+        if not self.kern:
+            row[cpu.SP_BOUNDS_AUX] = _inv(
+                len(self.stack) - (MAX_USER_STACK_SIZE + 1))
+        self._read(row, 0, SEG_CODE, 2 * self.pc)
+        return row
+
+    def _flag(self, row, name) -> None:
+        if row is not None:
+            row[self.cpu.OP[name]] = 1
+
+    # ------------------------------------------------- traps
+
+    def _jump_fault(self, name: str) -> int | None:
+        """Would this user JUMP/JUMPI fault? (jumps.rs:55)"""
+        dst = self.stack[-1]
+        cond = self.stack[-2] if name == "jumpi" else 1
+        if cond == 0:
+            return None
+        if dst >= U32 or self.memory.get((SEG_JUMPDEST, dst), 0) != 1:
+            return EXC_INVALID_JUMP if name == "jump" else EXC_INVALID_JUMPI
+        return None
+
+    def _trap(self, row, slot: int, saved_pc: int) -> None:
+        handler = self._read(row, 1, SEG_JUMPTABLE, slot)
+        trap = saved_pc | (self.kern << 32) | (self.gas << 192)
+        self._push(row, trap)
+        self._emit(row)
+        self.pc, self.kern, self.gas = handler, 1, 0
+
+    def _syscall(self, opcode: int) -> None:
+        row = self._cycle_row(opcode) if self.trace else None
+        self._flag(row, "syscall")
+        self._trap(row, opcode, self.pc + 1)
+
+    def _exception(self, code: int) -> None:
+        row = self._cycle_row(self.memory.get((SEG_CODE, 2 * self.pc), 0)) \
+            if self.trace else None
+        self._flag(row, "exception")
+        if row is not None:
+            for i in range(3):
+                row[self.cpu.EXC_BITS[i]] = (code >> i) & 1
+        self._trap(row, 256 + code, self.pc)
+
+    # ------------------------------------------------- native ops
+
+    def _op_halt(self, row, nop) -> None:
+        self._flag(row, "halt")
+        self._emit(row)
+        raise Halted
+
+    def _binop(self, row, nop, result, log=None) -> None:
+        self._flag(row, nop.name)
+        a = self._pop(row, 1)
+        b = self._pop(row, 2)
+        r = result(a, b)
+        if log is not None:
+            log(a, b)
+        self._push(row, r)
+        self.pc += 1
+
+    def _op_arith2(self, row, nop) -> None:
+        op = Operation(nop.name, 0, 0)
+
+        def res(a, b):
+            nonlocal op
+            op = Operation(nop.name, a, b)
+            return op.result(256)
+        self._binop(row, nop, res,
+                    lambda a, b: self.traces.arithmetic_ops.append(op))
+
+    _op_add = _op_mul = _op_sub = _op_div = _op_mod = _op_lt = _op_gt = \
+        _op_byte = _op_addfp254 = _op_mulfp254 = _op_subfp254 = _op_arith2
+
+    def _op_addmod(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        a, b, m = (self._pop(row, 1), self._pop(row, 2), self._pop(row, 3))
+        op = Operation(nop.name, a, b, m)
+        self.traces.arithmetic_ops.append(op)
+        self._push(row, op.result(256))
+        self.pc += 1
+
+    _op_mulmod = _op_addmod
+
+    def _op_and(self, row, nop) -> None:
+        fn = {"and": lambda a, b: a & b, "or": lambda a, b: a | b,
+              "xor": lambda a, b: a ^ b}[nop.name]
+        self._binop(row, nop, fn,
+                    lambda a, b: self.traces.logic_ops.append(
+                        (nop.name, a, b)))
+
+    _op_or = _op_xor = _op_and
+
+    def _op_not(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        a = self._pop(row, 1)
+        self._push(row, a ^ WORD_MASK)
+        self.pc += 1
+
+    def _eq_aux(self, row, a: int, b: int, equal: bool) -> None:
+        """diff_pinv witness (simple_logic/eq_iszero.rs:22)."""
+        if row is None or equal:
+            return
+        la, lb = _limbs(a), _limbs(b)
+        diffs = [(x - y) % P for x, y in zip(la, lb)]
+        n_unequal = sum(1 for d in diffs if d)
+        ninv = _inv(n_unequal)
+        for j, d in enumerate(diffs):
+            row[self.cpu.AUX[j]] = _inv(d) * ninv % P
+
+    def _op_eq(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        a = self._pop(row, 1)
+        b = self._pop(row, 2)
+        self._eq_aux(row, a, b, a == b)
+        self._push(row, int(a == b))
+        self.pc += 1
+
+    def _op_iszero(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        a = self._pop(row, 1)
+        self._eq_aux(row, a, 0, a == 0)
+        self._push(row, int(a == 0))
+        self.pc += 1
+
+    def _op_shl(self, row, nop) -> None:
+        self._shift(row, nop, "mul")
+
+    def _op_shr(self, row, nop) -> None:
+        self._shift(row, nop, "div")
+
+    def _shift(self, row, nop, lane: str) -> None:
+        self._flag(row, nop.name)
+        d = self._pop(row, 1)
+        v = self._pop(row, 2)
+        if d < U32:
+            pow2 = self._read(row, 3, SEG_SHIFT, d)
+        else:
+            pow2 = 0
+            if row is not None:
+                hi = sum(_limbs(d)[1:]) % P
+                row[self.cpu.AUX[0]] = _inv(hi)
+        op = Operation(lane, v, pow2)
+        self.traces.arithmetic_ops.append(op)
+        self._push(row, op.result(256))
+        self.pc += 1
+
+    def _op_pop(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        self._pop(row, 1)
+        self.pc += 1
+
+    def _op_jump(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        dst = self._pop(row, 1)
+        if row is not None:
+            row[self.cpu.AUX[0]] = 1
+        self._jumpdest_check(row, dst, should=True)
+        self.pc = dst
+
+    def _op_jumpi(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        dst = self._pop(row, 1)
+        cond = self._pop(row, 2)
+        should = cond != 0
+        if row is not None:
+            row[self.cpu.AUX[0]] = int(should)
+            row[self.cpu.AUX[1]] = _inv(sum(_limbs(cond)))
+        self._jumpdest_check(row, dst, should)
+        self.pc = dst if should else self.pc + 1
+
+    def _jumpdest_check(self, row, dst: int, should: bool) -> None:
+        if row is None:
+            return
+        if should and not self.kern:
+            bit = self._read(row, 3, SEG_JUMPDEST, dst)
+            assert bit == 1  # faults were filtered in step()
+        else:
+            # unused channel (kernel jump or untaken JUMPI): the AIR
+            # still binds the metadata and pins value[0] to 1; with
+            # used=0 none of it reaches the memory CTL
+            cpu = self.cpu
+            row[cpu.CH_IS_READ[3]] = 1
+            row[cpu.CH_SEGMENT[3]] = SEG_JUMPDEST
+            row[cpu.CH_VIRT[3]] = dst & 0xFFFFFFFF  # AIR binds dst limb0
+            row[cpu.CH_VALUE[3][0]] = 1
+
+    def _op_pc(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        self._push(row, self.pc)
+        self.pc += 1
+
+    def _op_jumpdest(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        self.pc += 1
+
+    def _op_push0(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        self._push(row, 0)
+        self.pc += 1
+
+    def _op_push(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        imm = self._read(row, 1, SEG_CODE, 2 * self.pc + 1)
+        self._push(row, imm)
+        self.pc += 1
+
+    def _op_dup(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        n = self.memory.get((SEG_CODE, 2 * self.pc), 0) & 0xF
+        sp = len(self.stack)
+        v = self._read(row, 1, SEG_STACK, sp - 1 - n)
+        assert v == self.stack[-1 - n]
+        self._push(row, v)
+        self.pc += 1
+
+    def _op_swap(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        n = self.memory.get((SEG_CODE, 2 * self.pc), 0) & 0xF
+        sp = len(self.stack)
+        x = self._read(row, 1, SEG_STACK, sp - 1)
+        y = self._read(row, 2, SEG_STACK, sp - 2 - n)
+        self._mem(row, 3, False, SEG_STACK, sp - 2 - n, x)
+        self._mem(row, 4, False, SEG_STACK, sp - 1, y)
+        self.stack[-1], self.stack[-2 - n] = y, x
+        self.pc += 1
+
+    def _op_get_sp(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        self._push(row, len(self.stack))
+        self.pc += 1
+
+    def _op_prover_input(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        assert self._pi_cursor < len(self.prover_inputs), \
+            "prover input exhausted"
+        v = self.prover_inputs[self._pi_cursor]
+        self._pi_cursor += 1
+        self._push(row, v & WORD_MASK)
+        self.pc += 1
+
+    def _op_keccak_general(self, row, nop) -> None:
+        from .keccak_sponge import KeccakSpongeOp, KeccakSpongeStark
+        self._flag(row, nop.name)
+        seg = self._pop(row, 1)
+        virt = self._pop(row, 2)
+        length = self._pop(row, 3)
+        data = bytes(self.memory.get((seg, virt + i), 0)
+                     for i in range(length))
+        ts = self.clock * TS_STRIDE + KECCAK_TS_CH
+        op = KeccakSpongeOp(0, seg, virt, ts, data)
+        self.traces.sponge_ops.append(op)
+        for i, byte in enumerate(data):
+            self.traces.memory_ops.append(MemoryOp(
+                True, ts, True, 0, seg, virt + i, byte))
+        digest = int.from_bytes(KeccakSpongeStark().hash_of(op), "little")
+        self._push(row, digest)
+        self.pc += 1
+
+    def _op_mload_general(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        seg = self._pop(row, 1)
+        virt = self._pop(row, 2)
+        v = self._read(row, 3, seg, virt)
+        self._push(row, v)
+        self.pc += 1
+
+    def _op_mstore_general(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        seg = self._pop(row, 1)
+        virt = self._pop(row, 2)
+        v = self._pop(row, 3)
+        self._mem(row, 4, False, seg, virt, v)
+        self.pc += 1
+
+    def _op_exit_kernel(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        w = self._pop(row, 1)
+        new_kern = (w >> 32) & 0xFFFFFFFF
+        assert new_kern in (0, 1) and (w >> 224) == 0, "bad exit word"
+        self.pc = w & 0xFFFFFFFF
+        self.kern = new_kern
+        self.gas = (w >> 192) & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------
+# trace assembly (generation/mod.rs:110 generate_traces)
 
 def sponge_derived_requests(sponge, sponge_trace: np.ndarray) -> tuple:
-    """The keccak-f permutation calls and rate-XOR logic requests implied
-    by a sponge trace (what the sponge delegates over CTLs)."""
+    """The keccak-f permutation calls and rate-XOR logic requests
+    implied by a sponge trace (what the sponge delegates over CTLs)."""
     perm_inputs = []
     logic_ops = []
     filt = gl64.to_canonical(
@@ -245,13 +549,12 @@ def sponge_derived_requests(sponge, sponge_trace: np.ndarray) -> tuple:
     return perm_inputs, logic_ops
 
 
-def generate_traces(program: list, include_arithmetic: bool = True,
+def generate_traces(sim: Simulator, include_arithmetic: bool = True,
                     min_rows: int = 16) -> tuple:
-    """Run the program and build every table's trace
-    (generation/mod.rs:39 generate_traces).  Table order: cpu, memory,
-    logic, [arithmetic], [keccak_sponge, keccak], program (always last;
-    the keccak pair is present only when the program hashes)."""
-    sim = Simulator(program)
+    """Run the simulator and build every table's trace.  Table order:
+    cpu, memory, logic, [arithmetic], [keccak_sponge, keccak], program
+    (always last; the keccak pair is present only when the run
+    hashed)."""
     t = sim.run()
     cpu = sim.cpu
     n = 1 << max(max(len(t.cpu_rows), min_rows) - 1, 0).bit_length()
@@ -286,28 +589,28 @@ def generate_traces(program: list, include_arithmetic: bool = True,
         arith = ArithmeticStark(val_bits=256, limb_bits=16)
         traces.append(arith.generate_trace(t.arithmetic_ops))
         starks.append(arith)
+    else:
+        assert not t.arithmetic_ops, \
+            "run used arithmetic; cannot exclude the table"
     if sponge_pair is not None:
         sponge, sponge_trace, keccak, keccak_trace = sponge_pair
         starks += [sponge, keccak]
         traces += [sponge_trace, keccak_trace]
     from .program import ProgramStark
     prog = ProgramStark()
-    traces.append(prog.generate_trace(code_words(program),
-                                      min_rows=min_rows))
+    traces.append(prog.generate_trace(sim.image, min_rows=min_rows))
     starks.append(prog)
     return starks, traces, sim
 
 
 def all_cross_table_lookups(starks: list) -> list:
-    """(all_stark.rs:99) the full CTL wiring for a table list produced by
-    `generate_traces`: memory bus (CPU channels + sponge byte reads),
-    logic bus (CPU bitwise ops + sponge rate XORs), arithmetic bus,
-    sponge/keccak-f link, CPU->sponge hash requests, and the program ROM
-    binding.  Table roles are identified by type."""
+    """(all_stark.rs:99) the full CTL wiring for a table list produced
+    by `generate_traces`: memory bus (CPU channels + sponge byte reads),
+    logic bus (CPU bitwise ops + sponge rate XORs), arithmetic bus (two
+    CPU lanes: direct ops and SHL/SHR riding MUL/DIV), sponge/keccak-f
+    link, CPU->sponge hash requests, and the bootstrap-image/ROM
+    binding per memory channel.  Table roles are identified by type."""
     from . import memory as memmod
-    from .keccak import KeccakStark
-    from .keccak_sponge import KeccakSpongeStark
-    from .program import ProgramStark
 
     idx = {type(s).__name__: i for i, s in enumerate(starks)}
     cpu = starks[idx["CpuStark"]]
@@ -316,14 +619,14 @@ def all_cross_table_lookups(starks: list) -> list:
              if "ArithmeticStark" in idx else None)
     sponge = (starks[idx["KeccakSpongeStark"]]
               if "KeccakSpongeStark" in idx else None)
+    ci = idx["CpuStark"]
 
     mem_looking = [
-        TableWithColumns(idx["CpuStark"],
-                         tuple(cpu.ctl_looking_memory(ch)),
+        TableWithColumns(ci, tuple(cpu.ctl_looking_memory(ch)),
                          cpu.ctl_looking_memory_filter(ch))
         for ch in range(NUM_CHANNELS)]
     logic_looking = [
-        TableWithColumns(idx["CpuStark"], tuple(cpu.ctl_looking_logic()),
+        TableWithColumns(ci, tuple(cpu.ctl_looking_logic()),
                          cpu.ctl_looking_logic_filter())]
     if sponge is not None:
         si = idx["KeccakSpongeStark"]
@@ -350,9 +653,12 @@ def all_cross_table_lookups(starks: list) -> list:
     ]
     if arith is not None:
         ctls.append(CrossTableLookup(
-            looking_tables=(TableWithColumns(
-                idx["CpuStark"], tuple(cpu.ctl_looking_arithmetic()),
-                cpu.ctl_looking_arithmetic_filter()),),
+            looking_tables=(
+                TableWithColumns(ci, tuple(cpu.ctl_looking_arithmetic()),
+                                 cpu.ctl_looking_arithmetic_filter()),
+                TableWithColumns(
+                    ci, tuple(cpu.ctl_looking_arithmetic_shift()),
+                    cpu.ctl_looking_arithmetic_shift_filter())),
             looked_table=TableWithColumns(
                 idx["ArithmeticStark"], tuple(arith.ctl_data()),
                 arith.ctl_filter())))
@@ -368,7 +674,7 @@ def all_cross_table_lookups(starks: list) -> list:
                 keccak.ctl_filter())))
         ctls.append(CrossTableLookup(
             looking_tables=(TableWithColumns(
-                idx["CpuStark"], tuple(cpu.ctl_looking_keccak_sponge()),
+                ci, tuple(cpu.ctl_looking_keccak_sponge()),
                 cpu.ctl_looking_keccak_sponge_filter()),),
             looked_table=TableWithColumns(
                 idx["KeccakSpongeStark"],
@@ -376,21 +682,27 @@ def all_cross_table_lookups(starks: list) -> list:
                 sponge.ctl_looked_filter())))
     prog = starks[idx["ProgramStark"]]
     ctls.append(CrossTableLookup(
-        looking_tables=(TableWithColumns(
-            idx["CpuStark"], tuple(cpu.ctl_looking_program()),
-            cpu.ctl_looking_program_filter()),),
+        looking_tables=tuple(
+            TableWithColumns(ci, tuple(cpu.ctl_looking_program(ch)),
+                             cpu.ctl_looking_program_filter(ch))
+            for ch in range(NUM_CHANNELS)),
         looked_table=TableWithColumns(
             idx["ProgramStark"], tuple(prog.ctl_data()),
             prog.ctl_filter())))
     return ctls
 
 
-def prove_program(program: list, config: StarkConfig = None,
-                  include_arithmetic: bool = True):
+def prove_program(user_code: list | None = None, kernel=None,
+                  global_values: dict | None = None, prover_inputs=(),
+                  config: StarkConfig = None,
+                  include_arithmetic: bool = True,
+                  max_cycles: int = 4_000_000):
     """End-to-end: simulate, build traces, joint multi-table proof
     (evm/src/prover.rs:45 prove)."""
     config = config or StarkConfig.standard_fast_config()
-    starks, traces, sim = generate_traces(program, include_arithmetic)
+    sim = Simulator(user_code, kernel=kernel, global_values=global_values,
+                    prover_inputs=prover_inputs, max_cycles=max_cycles)
+    starks, traces, sim = generate_traces(sim, include_arithmetic)
     ctls = all_cross_table_lookups(starks)
     proof = prove_multi_table(starks, ctls, config, traces)
     return proof, starks, ctls, sim
@@ -398,25 +710,28 @@ def prove_program(program: list, config: StarkConfig = None,
 
 def verify_program_proof(starks: list, ctls: list, proof,
                          config: StarkConfig = None,
-                         program: list = None) -> None:
-    """(evm/src/verifier.rs:29).  When the public `program` is given, the
-    program ROM's trace commitment is recomputed from it and pinned
-    against the proof — binding the executed code image to the public
-    program (the TPU-native analogue of the reference's bootstrap code
-    hash; see zkevm/program.py)."""
+                         user_code: list = None, kernel=None,
+                         global_values: dict | None = None) -> None:
+    """(evm/src/verifier.rs:29).  When the public inputs (kernel, user
+    code, global metadata) are given, the program ROM's trace
+    commitment is recomputed from them and pinned against the proof —
+    binding the executed image to public data (program.py)."""
     config = config or StarkConfig.standard_fast_config()
     verify_multi_table(starks, ctls, proof, config)
-    if program is not None:
+    if user_code is not None or global_values is not None \
+            or kernel is not None:
         from ..field.goldilocks import GF
         from ..fri.oracle import PolynomialBatch
         from .program import ProgramStark
         prog = starks[-1]
         assert isinstance(prog, ProgramStark), "program table must be last"
+        kernel = kernel or KERNEL
+        image = kernel.image(user_code, global_values)
         n = 1 << proof.stark_proofs[-1].degree_bits
-        trace = prog.generate_trace(code_words(program), min_rows=n)
+        trace = prog.generate_trace(image, min_rows=n)
         assert trace.shape[-1] == n, "program trace size mismatch"
         expect = PolynomialBatch.from_values(
             GF.from_u64(trace), config.fri_config.rate_bits, False,
             config.fri_config.cap_height)
         assert expect.merkle_tree.cap == proof.stark_proofs[-1].trace_cap, \
-            "program ROM commitment does not match the public program"
+            "program ROM commitment does not match the public image"

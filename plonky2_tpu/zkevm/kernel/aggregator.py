@@ -1,0 +1,225 @@
+"""Kernel aggregation: assemble the asm routines, build the jumptables
+and the bootstrap memory image (twin of reference
+evm/src/cpu/kernel/aggregator.rs:10 combined_kernel and
+constants/global_metadata.rs).
+
+The `Kernel` is public: the verifier rebuilds the bootstrap image from
+it (plus the public user code and block metadata) and recomputes the
+program-ROM commitment, binding the executed machine state to public
+data (program.py; replaces the reference's in-kernel code hashing).
+
+Image layout (segments in cpu.py):
+- SEG_CODE: kernel code words, then user code words at USER_BASE
+  (2 words per instruction: opcode, immediate);
+- SEG_JUMPTABLE: syscall handlers at [opcode], exception handlers at
+  [256 + exc_code]; unrouted entries hold `panic` so a mis-decoded
+  native op or fake trap can never be proven (syscalls.rs:28);
+- SEG_SHIFT: 2^i mod 2^256 at [i] for SHL/SHR (Segment::ShiftTable);
+- SEG_JUMPDEST: 1 at [pc] for each user JUMPDEST instruction — the
+  TPU-native replacement for the kernel's jumpdest analysis
+  (asm/core/jumpdest_analysis.asm): the bits are public inputs via the
+  ROM commitment rather than kernel-computed;
+- SEG_GLOBAL: block metadata + trie-root digests (proof.rs:51
+  PublicValues), opcode bitmask words, and the per-opcode minimum
+  stack-length table at GLOBAL_MIN_SP_BASE (exception.asm:141).
+"""
+
+from __future__ import annotations
+
+from importlib import resources
+from pathlib import Path
+
+from ..opcodes import (NATIVE_OPS, SYSCALL_MIN_STACK, decode_native,
+                       min_stack_len)
+from .assembler import assemble
+
+WORD_MASK = (1 << 256) - 1
+
+# global-metadata slots (constants/global_metadata.rs, reduced)
+GLOBAL_BLOCK_BENEFICIARY = 0
+GLOBAL_BLOCK_TIMESTAMP = 1
+GLOBAL_BLOCK_NUMBER = 2
+GLOBAL_BLOCK_DIFFICULTY = 3
+GLOBAL_BLOCK_GASLIMIT = 4
+GLOBAL_BLOCK_CHAIN_ID = 5
+GLOBAL_BLOCK_BASE_FEE = 6
+GLOBAL_STATE_ROOT_BEFORE = 7
+GLOBAL_STATE_ROOT_AFTER = 8
+GLOBAL_TXN_ROOT_BEFORE = 9
+GLOBAL_TXN_ROOT_AFTER = 10
+GLOBAL_RECEIPT_ROOT_BEFORE = 11
+GLOBAL_RECEIPT_ROOT_AFTER = 12
+GLOBAL_INVALID_OPCODES_USER = 13
+GLOBAL_STACK_INCREASING_USER = 14
+GLOBAL_EXC_STATUS = 15
+# runtime kernel state (never in the image; fresh reads give 0)
+GLOBAL_TRIE_ALLOC = 16       # SEG_TRIE bump allocator (0 = null ptr)
+GLOBAL_RLP_ALLOC = 17        # SEG_RLP bump allocator
+GLOBAL_STATE_TRIE_PTR = 18
+GLOBAL_TXN_TRIE_PTR = 19
+GLOBAL_RECEIPT_TRIE_PTR = 20
+# transfer-txn public claims (signature checking is out of scope this
+# round — the txn fields are public inputs bound via the ROM image)
+GLOBAL_TXN_SENDER = 21
+GLOBAL_TXN_TO = 22
+GLOBAL_TXN_VALUE = 23
+GLOBAL_TXN_NONCE = 24
+GLOBAL_TXN_GASPRICE = 25
+GLOBAL_MIN_SP_BASE = 256
+
+SYSCALL_ROUTES = {
+    0x00: "sys_stop", 0x0A: "sys_exp", 0x20: "sys_keccak256",
+    0x51: "sys_mload", 0x52: "sys_mstore", 0x53: "sys_mstore8",
+    0x5A: "sys_gas",
+}
+EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
+              "exc_stack_underflow", "exc_invalid_jump",
+              "exc_invalid_jumpi", "exc_stack_overflow", "panic", "panic")
+
+ASM_DIR = Path(__file__).parent / "asm"
+CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "memory.asm",
+              "rlp.asm", "mpt.asm", "mpt_ops.asm", "txn.asm")
+
+
+def user_opcode_is_valid(opcode: int) -> bool:
+    """Valid in user mode: a user-available native block or an
+    implemented syscall (the round-2 INVALID_OPCODES_USER complement,
+    constants/exc_bitfields.rs)."""
+    op = decode_native(opcode, kernel_mode=False)
+    if op is not None:
+        return True
+    return opcode in SYSCALL_ROUTES
+
+
+def invalid_opcodes_user_mask() -> int:
+    return sum(1 << oc for oc in range(256)
+               if not user_opcode_is_valid(oc))
+
+
+def stack_increasing_user_mask() -> int:
+    """Opcodes that grow the user stack by one
+    (exc_bitfields.rs STACK_LENGTH_INCREASING_OPCODES_USER)."""
+    mask = 0
+    for oc in range(256):
+        op = decode_native(oc, kernel_mode=False)
+        if op is not None and op.sp_delta == 1:
+            mask |= 1 << oc
+    return mask
+
+
+class Kernel:
+    def __init__(self, code: list, global_labels: dict):
+        self.code = code
+        self.global_labels = global_labels
+        self.main_pc = global_labels["main"]
+        self.user_base = len(code)
+
+    def image(self, user_code: list | None = None,
+              global_values: dict | None = None) -> list:
+        """The bootstrap memory image: (segment, virt, value) triples
+        with distinct addresses (generation/mod.rs:79
+        apply_metadata_memops + bootstrap_kernel.rs)."""
+        from ..cpu import (SEG_CODE, SEG_GLOBAL, SEG_JUMPDEST,
+                           SEG_JUMPTABLE, SEG_SHIFT)
+        user_code = user_code or []
+        entries = []
+        code = self.code + list(user_code)
+        for i, (opcode, imm) in enumerate(code):
+            entries.append((SEG_CODE, 2 * i, opcode))
+            if imm:
+                entries.append((SEG_CODE, 2 * i + 1, imm & WORD_MASK))
+        labels = self.global_labels
+        panic = labels["panic"]
+        for oc in range(256):
+            route = SYSCALL_ROUTES.get(oc)
+            if decode_native(oc, kernel_mode=False) is not None:
+                route = None    # native in user mode: trap => panic
+            pc = labels[route] if route else panic
+            if pc:
+                entries.append((SEG_JUMPTABLE, oc, pc))
+        for code_, name in enumerate(EXC_ROUTES):
+            pc = labels[name]
+            if pc:
+                entries.append((SEG_JUMPTABLE, 256 + code_, pc))
+        for i in range(256):
+            entries.append((SEG_SHIFT, i, (1 << i) & WORD_MASK))
+        for i, (opcode, _) in enumerate(user_code):
+            if opcode == 0x5B:  # JUMPDEST
+                entries.append((SEG_JUMPDEST, self.user_base + i, 1))
+        gv = {GLOBAL_INVALID_OPCODES_USER: invalid_opcodes_user_mask(),
+              GLOBAL_STACK_INCREASING_USER: stack_increasing_user_mask()}
+        for oc in range(256):
+            ms = min_stack_len(oc)
+            if ms:
+                gv[GLOBAL_MIN_SP_BASE + oc] = ms
+        gv.update(global_values or {})
+        for idx, value in sorted(gv.items()):
+            if value:
+                entries.append((SEG_GLOBAL, idx, value & WORD_MASK))
+        assert len({(s, v) for s, v, _ in entries}) == len(entries), \
+            "image addresses must be distinct"
+        return entries
+
+
+def build_kernel(extra_sources: list = (), constants: dict | None = None,
+                 main_source: str | None = None) -> Kernel:
+    """Assemble the kernel from the core asm files plus any extras;
+    `main_source` overrides main.asm for kernel-only test programs
+    (aggregator.rs:10 combined_kernel)."""
+    from .. import cpu
+    consts = {
+        "SEGMENT_CODE": cpu.SEG_CODE, "SEGMENT_STACK": cpu.SEG_STACK,
+        "SEGMENT_MAIN": cpu.SEG_MAIN, "SEGMENT_BYTES": cpu.SEG_BYTES,
+        "SEGMENT_JUMPTABLE": cpu.SEG_JUMPTABLE,
+        "SEGMENT_SHIFT": cpu.SEG_SHIFT,
+        "SEGMENT_JUMPDEST": cpu.SEG_JUMPDEST,
+        "SEGMENT_GLOBAL": cpu.SEG_GLOBAL,
+        "SEGMENT_TRIE": cpu.SEG_TRIE,
+        "SEGMENT_RLP": cpu.SEG_RLP,
+        "GLOBAL_GASLIMIT": GLOBAL_BLOCK_GASLIMIT,
+        "GLOBAL_INVALID_OPCODES_USER": GLOBAL_INVALID_OPCODES_USER,
+        "GLOBAL_STACK_INCREASING_USER": GLOBAL_STACK_INCREASING_USER,
+        "GLOBAL_EXC_STATUS": GLOBAL_EXC_STATUS,
+        "GLOBAL_MIN_SP_BASE": GLOBAL_MIN_SP_BASE,
+        "GLOBAL_STATE_ROOT_BEFORE": GLOBAL_STATE_ROOT_BEFORE,
+        "GLOBAL_STATE_ROOT_AFTER": GLOBAL_STATE_ROOT_AFTER,
+        "GLOBAL_TXN_ROOT_BEFORE": GLOBAL_TXN_ROOT_BEFORE,
+        "GLOBAL_TXN_ROOT_AFTER": GLOBAL_TXN_ROOT_AFTER,
+        "GLOBAL_RECEIPT_ROOT_BEFORE": GLOBAL_RECEIPT_ROOT_BEFORE,
+        "GLOBAL_RECEIPT_ROOT_AFTER": GLOBAL_RECEIPT_ROOT_AFTER,
+        "GLOBAL_TRIE_ALLOC": GLOBAL_TRIE_ALLOC,
+        "GLOBAL_RLP_ALLOC": GLOBAL_RLP_ALLOC,
+        "GLOBAL_STATE_TRIE_PTR": GLOBAL_STATE_TRIE_PTR,
+        "GLOBAL_TXN_TRIE_PTR": GLOBAL_TXN_TRIE_PTR,
+        "GLOBAL_RECEIPT_TRIE_PTR": GLOBAL_RECEIPT_TRIE_PTR,
+        "GLOBAL_TXN_SENDER": GLOBAL_TXN_SENDER,
+        "GLOBAL_TXN_TO": GLOBAL_TXN_TO,
+        "GLOBAL_TXN_VALUE": GLOBAL_TXN_VALUE,
+        "GLOBAL_TXN_NONCE": GLOBAL_TXN_NONCE,
+        "GLOBAL_TXN_GASPRICE": GLOBAL_TXN_GASPRICE,
+        "GLOBAL_BLOCK_BENEFICIARY": GLOBAL_BLOCK_BENEFICIARY,
+        "GLOBAL_BLOCK_BASE_FEE": GLOBAL_BLOCK_BASE_FEE,
+        "MPT_EMPTY": 0, "MPT_HASH": 1, "MPT_BRANCH": 2,
+        "MPT_EXTENSION": 3, "MPT_LEAF": 4,
+        # keccak("") as a big-endian word (mpt.py EMPTY_CODE_HASH)
+        "EMPTY_CODE_HASH": int.from_bytes(bytes.fromhex(
+            "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+        ), "big"),
+    }
+    consts.update(constants or {})
+    sources = [(ASM_DIR / f).read_text() for f in CORE_FILES]
+    sources.append(main_source if main_source is not None
+                   else (ASM_DIR / "main.asm").read_text())
+    sources.extend(extra_sources)
+
+    # two-phase: USER_BASE depends on the assembled length, which the
+    # PUSH-per-instruction word encoding keeps independent of the
+    # constant's value
+    code, labels = assemble(sources, {**consts, "USER_BASE": 0})
+    consts["USER_BASE"] = len(code)
+    code, labels = assemble(sources, consts)
+    assert len(code) == consts["USER_BASE"]
+    return Kernel(code, labels)
+
+
+KERNEL = build_kernel()

@@ -1,0 +1,59 @@
+// Core macros + panic/fault plumbing (twin of reference
+// cpu/kernel/asm/core/{exception.asm,terminate.asm} helpers and
+// asm/util.asm, re-targeted at the word machine).
+
+%macro jump(dest)
+    PUSH $dest
+    JUMP
+%endmacro
+
+%macro jumpi(dest)
+    PUSH $dest
+    JUMPI
+%endmacro
+
+// [.., x] -> [.., value] : value = SEGMENT_GLOBAL[$idx]
+%macro mload_global(idx)
+    PUSH $idx
+    PUSH @SEGMENT_GLOBAL
+    MLOAD_GENERAL
+%endmacro
+
+// [.., value] -> [..] : SEGMENT_GLOBAL[$idx] = value
+%macro mstore_global(idx)
+    PUSH $idx
+    PUSH @SEGMENT_GLOBAL
+    MSTORE_GENERAL
+%endmacro
+
+// [.., trap_copy] -> [.., opcode] : the opcode word at the trapped pc
+// (reference %opcode_from_exp_trap_info, core/exception.asm:137)
+%macro opcode_from_trap_info
+    PUSH 0xffffffff
+    AND
+    DUP1
+    ADD
+    PUSH @SEGMENT_CODE
+    MLOAD_GENERAL
+%endmacro
+
+// [.., trap] -> [.., trap + $cost<<192] : charge gas in the saved word
+%macro charge_gas(cost)
+    PUSH $cost
+    PUSH 192
+    SHL
+    ADD
+%endmacro
+
+// PANIC: an exception handler entered without cause spins forever, so
+// the mandatory final HALT row is unreachable and no proof exists
+// (reference PANIC opcode, decode.rs:20 note).
+global panic:
+    %jump(panic)
+
+// exceptional exit: record the fault and halt (the reference unwinds
+// into transaction revert, core/terminate.asm; round-2 reduction)
+global fault_exception:
+    PUSH 1
+    %mstore_global(@GLOBAL_EXC_STATUS)
+    HALT

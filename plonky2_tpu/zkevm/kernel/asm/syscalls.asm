@@ -1,0 +1,103 @@
+// Syscall handlers (twin of reference cpu/kernel/asm/memory/ and
+// asm/core routines reached through the syscall jumptable,
+// cpu/syscalls.rs).  On entry the stack holds the user operands below
+// the trap word (pc+1, kernel_flag, 0.., gas, 0); each handler does
+// its work, charges the opcode's gas into the trap word's limb 6, and
+// EXIT_KERNELs back to user code.
+//
+// Round-2 divergences from the reference (documented in opcodes.py):
+// user MLOAD/MSTORE are word-granular on SEGMENT_MAIN, MSTORE8 and
+// KECCAK256 address the byte-granular SEGMENT_BYTES, and dynamic gas
+// components (per-word keccak cost, exp byte cost) are flat.
+
+global sys_stop:
+    // stack: trap — discard it so the final stack is the user stack
+    POP
+    HALT
+
+global sys_mload:
+    // stack: addr, trap
+    SWAP1
+    PUSH @SEGMENT_MAIN
+    MLOAD_GENERAL                // [trap, value]
+    SWAP1
+    %charge_gas(3)
+    EXIT_KERNEL
+
+global sys_mstore:
+    // stack: value, offset, trap
+    SWAP2                        // [trap, offset, value]
+    SWAP1                        // [trap, value, offset]
+    PUSH @SEGMENT_MAIN
+    MSTORE_GENERAL               // [trap]
+    %charge_gas(3)
+    EXIT_KERNEL
+
+global sys_mstore8:
+    // stack: value, offset, trap
+    SWAP2                        // [trap, offset, value]
+    PUSH 0xff
+    AND                          // [trap, offset, byte]
+    SWAP1                        // [trap, byte, offset]
+    PUSH @SEGMENT_BYTES
+    MSTORE_GENERAL               // [trap]
+    %charge_gas(3)
+    EXIT_KERNEL
+
+global sys_keccak256:
+    // stack: len, offset, trap
+    SWAP2                        // [trap, offset, len]
+    SWAP1                        // [trap, len, offset]
+    PUSH @SEGMENT_BYTES
+    KECCAK_GENERAL               // [trap, digest]
+    SWAP1
+    %charge_gas(30)
+    EXIT_KERNEL
+
+global sys_gas:
+    // stack: trap — push gas remaining = block limit - gas used
+    %mload_global(@GLOBAL_GASLIMIT)
+    DUP2
+    PUSH 192
+    SHR                          // [trap, limit, gas_used]
+    SWAP1                        // [trap, gas_used, limit]
+    SUB                          // [trap, limit - gas_used]
+    SWAP1
+    %charge_gas(2)
+    EXIT_KERNEL
+
+// EXP by square-and-multiply mod 2^256 (asm/exp.asm; loop exits as
+// soon as the remaining exponent is 0)
+global sys_exp:
+    // stack: exponent, base, trap
+    SWAP2                        // [trap, base, exponent]
+    PUSH 1                       // [trap, base, exp, acc]
+exp_loop:
+    DUP2
+    ISZERO
+    %jumpi(exp_end)
+    DUP2
+    PUSH 1
+    AND
+    ISZERO
+    %jumpi(exp_skip)
+    DUP3
+    MUL                          // acc *= base
+exp_skip:
+    SWAP2                        // [trap, acc, exp, base]
+    DUP1
+    MUL                          // [trap, acc, exp, base^2]
+    SWAP2                        // [trap, base^2, exp, acc]
+    SWAP1                        // [trap, base^2, acc, exp]
+    PUSH 1
+    SHR                          // [trap, base^2, acc, exp >> 1]
+    SWAP1                        // [trap, base^2, exp, acc]
+    %jump(exp_loop)
+exp_end:
+    // stack: trap, base, 0, acc
+    SWAP2                        // [trap, acc, 0, base]
+    POP
+    POP                          // [trap, acc]
+    SWAP1
+    %charge_gas(10)
+    EXIT_KERNEL

@@ -1,0 +1,239 @@
+"""Transaction-level generation inputs and public values (twin of
+reference evm/src/generation/mod.rs:39 GenerationInputs and
+evm/src/proof.rs:51 PublicValues/TrieRoots/BlockMetadata), plus the
+host twin of the kernel's transfer semantics (kernel/asm/txn.asm) and
+the end-to-end prove/verify wrappers mirroring
+evm/tests/simple_transfer.rs:29.
+
+The kernel checks the claimed before/after trie roots in SEG_GLOBAL
+(txn.asm check_root) and those global slots are part of the bootstrap
+image, which the verifier recomputes from PublicValues and pins via the
+program-ROM commitment (generation.verify_program_proof) — so the trie
+roots and txn fields are sound public inputs of the proof.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..stark.config import StarkConfig
+from . import mpt, rlp
+from .kernel.aggregator import (GLOBAL_BLOCK_BASE_FEE,
+                                GLOBAL_BLOCK_BENEFICIARY,
+                                GLOBAL_BLOCK_CHAIN_ID,
+                                GLOBAL_BLOCK_DIFFICULTY,
+                                GLOBAL_BLOCK_GASLIMIT, GLOBAL_BLOCK_NUMBER,
+                                GLOBAL_BLOCK_TIMESTAMP,
+                                GLOBAL_RECEIPT_ROOT_AFTER,
+                                GLOBAL_RECEIPT_ROOT_BEFORE,
+                                GLOBAL_STATE_ROOT_AFTER,
+                                GLOBAL_STATE_ROOT_BEFORE,
+                                GLOBAL_TXN_GASPRICE, GLOBAL_TXN_NONCE,
+                                GLOBAL_TXN_ROOT_AFTER,
+                                GLOBAL_TXN_ROOT_BEFORE, GLOBAL_TXN_SENDER,
+                                GLOBAL_TXN_TO, GLOBAL_TXN_VALUE,
+                                build_kernel)
+
+TXN_GAS = 21_000
+
+# the kernel main for transfer blocks (txn.asm txn_main)
+TXN_MAIN_SOURCE = "global main:\n    %jump(txn_main)\n"
+
+
+@dataclass(frozen=True)
+class BlockMetadata:
+    """(proof.rs:59 BlockMetadata)"""
+
+    beneficiary: bytes = b"\x00" * 20
+    timestamp: int = 0
+    number: int = 0
+    difficulty: int = 0
+    gaslimit: int = 0xFFFFFFFF
+    chain_id: int = 1
+    base_fee: int = 0
+
+
+@dataclass(frozen=True)
+class Transfer:
+    """The reduced signed-txn payload (sender is a public input; see
+    module docstring)."""
+
+    sender: bytes
+    to: bytes
+    value: int
+    nonce: int = 0
+    gas_price: int = 0
+
+    def rlp(self) -> bytes:
+        """The txn-trie entry the kernel builds (txn.asm
+        build_txn_value): rlp([nonce, gas_price, 21000, to, value])."""
+        return rlp.encode([self.nonce, self.gas_price, TXN_GAS, self.to,
+                           self.value])
+
+    def receipt_rlp(self) -> bytes:
+        return rlp.encode([1, TXN_GAS, []])
+
+
+@dataclass
+class GenerationInputs:
+    """(generation/mod.rs:39)"""
+
+    txn: Transfer
+    tries: mpt.TrieInputs = field(default_factory=mpt.TrieInputs)
+    block_metadata: BlockMetadata = field(default_factory=BlockMetadata)
+
+
+@dataclass(frozen=True)
+class TrieRoots:
+    state: bytes
+    transactions: bytes
+    receipts: bytes
+
+
+@dataclass(frozen=True)
+class PublicValues:
+    """(proof.rs:51)"""
+
+    trie_roots_before: TrieRoots
+    trie_roots_after: TrieRoots
+    block_metadata: BlockMetadata
+    txn: Transfer
+
+
+def _get_account(state, address: bytes) -> mpt.Account | None:
+    raw = mpt.trie_get(state, mpt.state_key(address))
+    return mpt.Account.decode(raw) if raw is not None else None
+
+
+def _set_account(state, address: bytes, acct: mpt.Account):
+    return mpt.trie_insert(state, mpt.state_key(address), acct.encode())
+
+
+def apply_transfer(inputs: GenerationInputs) -> mpt.TrieInputs:
+    """Host twin of txn.asm execute_transfer: the after-tries.  Raises
+    on the same conditions the kernel panics on (missing sender, nonce
+    mismatch, insufficient balance)."""
+    txn, md = inputs.txn, inputs.block_metadata
+    state = inputs.tries.state_trie
+    sender = _get_account(state, txn.sender)
+    assert sender is not None, "sender account missing"
+    assert sender.nonce == txn.nonce, "nonce mismatch"
+    fee = txn.gas_price * TXN_GAS
+    cost = txn.value + fee
+    assert sender.balance >= cost, "insufficient balance"
+    state = _set_account(state, txn.sender, mpt.Account(
+        sender.nonce + 1, sender.balance - cost, sender.storage_root,
+        sender.code_hash))
+
+    def credit(state, address, amount):
+        acct = _get_account(state, address) or mpt.Account()
+        return _set_account(state, address, mpt.Account(
+            acct.nonce, acct.balance + amount, acct.storage_root,
+            acct.code_hash))
+
+    state = credit(state, txn.to, txn.value)
+    state = credit(state, md.beneficiary, fee)
+
+    key0 = mpt.bytes_to_nibbles(rlp.encode(0))
+    txn_trie = mpt.trie_insert(inputs.tries.transactions_trie, key0,
+                               txn.rlp())
+    receipts = mpt.trie_insert(inputs.tries.receipts_trie, key0,
+                               txn.receipt_rlp())
+    return mpt.TrieInputs(state, txn_trie, receipts,
+                          inputs.tries.storage_tries)
+
+
+def public_values(inputs: GenerationInputs) -> PublicValues:
+    after = apply_transfer(inputs)
+    return PublicValues(
+        trie_roots_before=TrieRoots(
+            mpt.trie_hash(inputs.tries.state_trie),
+            mpt.trie_hash(inputs.tries.transactions_trie),
+            mpt.trie_hash(inputs.tries.receipts_trie)),
+        trie_roots_after=TrieRoots(
+            mpt.trie_hash(after.state_trie),
+            mpt.trie_hash(after.transactions_trie),
+            mpt.trie_hash(after.receipts_trie)),
+        block_metadata=inputs.block_metadata,
+        txn=inputs.txn)
+
+
+def _be(b: bytes) -> int:
+    return int.from_bytes(b, "big")
+
+
+def global_values_for(pv: PublicValues) -> dict:
+    """The SEG_GLOBAL image slots for a transfer block — everything the
+    kernel's check_root / execute_transfer reads, derived purely from
+    PublicValues (so the verifier can rebuild the image)."""
+    md, txn = pv.block_metadata, pv.txn
+    return {
+        GLOBAL_BLOCK_BENEFICIARY: _be(md.beneficiary),
+        GLOBAL_BLOCK_TIMESTAMP: md.timestamp,
+        GLOBAL_BLOCK_NUMBER: md.number,
+        GLOBAL_BLOCK_DIFFICULTY: md.difficulty,
+        GLOBAL_BLOCK_GASLIMIT: md.gaslimit,
+        GLOBAL_BLOCK_CHAIN_ID: md.chain_id,
+        GLOBAL_BLOCK_BASE_FEE: md.base_fee,
+        GLOBAL_STATE_ROOT_BEFORE: _be(pv.trie_roots_before.state),
+        GLOBAL_TXN_ROOT_BEFORE: _be(pv.trie_roots_before.transactions),
+        GLOBAL_RECEIPT_ROOT_BEFORE: _be(pv.trie_roots_before.receipts),
+        GLOBAL_STATE_ROOT_AFTER: _be(pv.trie_roots_after.state),
+        GLOBAL_TXN_ROOT_AFTER: _be(pv.trie_roots_after.transactions),
+        GLOBAL_RECEIPT_ROOT_AFTER: _be(pv.trie_roots_after.receipts),
+        GLOBAL_TXN_SENDER: _be(txn.sender),
+        GLOBAL_TXN_TO: _be(txn.to),
+        GLOBAL_TXN_VALUE: txn.value,
+        GLOBAL_TXN_NONCE: txn.nonce,
+        GLOBAL_TXN_GASPRICE: txn.gas_price,
+    }
+
+
+_TXN_KERNEL = None
+
+
+def txn_kernel():
+    """The transfer-block kernel (cached: assembly is deterministic)."""
+    global _TXN_KERNEL
+    if _TXN_KERNEL is None:
+        _TXN_KERNEL = build_kernel(main_source=TXN_MAIN_SOURCE)
+    return _TXN_KERNEL
+
+
+def simulate_transfer(inputs: GenerationInputs, trace: bool = True,
+                      max_cycles: int = 4_000_000):
+    """Run the transfer block in the simulator/interpreter; returns the
+    Simulator after a clean HALT (panics spin -> RuntimeError)."""
+    from .generation import Simulator
+    pv = public_values(inputs)
+    sim = Simulator(
+        kernel=txn_kernel(), global_values=global_values_for(pv),
+        prover_inputs=mpt.state_prover_inputs(inputs.tries),
+        max_cycles=max_cycles, trace=trace)
+    sim.run()
+    assert sim.exc_status == 0
+    return sim, pv
+
+
+def prove_transfer(inputs: GenerationInputs, config: StarkConfig = None):
+    """simple_transfer.rs:29 equivalent: prove one transfer block
+    through the full multi-table pipeline; returns
+    (proof, starks, ctls, public_values)."""
+    from .generation import prove_program
+    pv = public_values(inputs)
+    proof, starks, ctls, sim = prove_program(
+        kernel=txn_kernel(), global_values=global_values_for(pv),
+        prover_inputs=mpt.state_prover_inputs(inputs.tries),
+        config=config)
+    return proof, starks, ctls, pv
+
+
+def verify_transfer_proof(starks, ctls, proof, pv: PublicValues,
+                          config: StarkConfig = None) -> None:
+    """Verify the multi-proof AND that its ROM commitment matches the
+    image rebuilt from these PublicValues — binding the trie roots and
+    txn fields to the proof."""
+    from .generation import verify_program_proof
+    verify_program_proof(starks, ctls, proof, config=config,
+                         kernel=txn_kernel(),
+                         global_values=global_values_for(pv))

@@ -1,53 +1,275 @@
-"""Mini-EVM CPU pipeline: simulation, AIR satisfaction, cross-table
-consistency, and the joint multi-table proof (reference evm/src/cpu/ +
+"""Full EVM-style CPU pipeline: kernel assembly, simulation, syscall and
+exception traps, AIR satisfaction, cross-table consistency, and the
+joint multi-table proof (reference evm/src/cpu/ + cpu/kernel/ +
 generation/ + all_stark.rs integration tests)."""
 
 import numpy as np
 import pytest
 
+from plonky2_tpu.hash.keccak import keccak256
 from plonky2_tpu.stark.ctl import check_ctls
 from plonky2_tpu.stark.testing import check_constraints_on_trace
 from plonky2_tpu.stark.testing import test_stark_low_degree as low_degree_check
-from plonky2_tpu.zkevm.cpu import CpuStark, Instr
+from plonky2_tpu.zkevm.cpu import SEG_MAIN, CpuStark
 from plonky2_tpu.zkevm.generation import (Simulator, Traces,
                                           all_cross_table_lookups,
                                           generate_traces)
-
-# and/xor/jumpz (both directions) without arithmetic-table ops
-LOGIC_PROGRAM = [
-    Instr("push", 5), Instr("push", 3), Instr("and"),   # 5 & 3 = 1
-    Instr("jumpz", 99),                                 # not taken
-    Instr("push", 2), Instr("push", 2), Instr("xor"),   # 0
-    Instr("jumpz", 9),                                  # taken
-    Instr("halt"),                                      # skipped
-    Instr("push", 7), Instr("halt"),
-]
-
-# countdown loop through MAIN memory, with sub (arithmetic table)
-LOOP_PROGRAM = [
-    Instr("push", 3), Instr("push", 0), Instr("mstore"),   # MAIN[0] = 3
-    # loop (pc=3):
-    Instr("push", 0), Instr("mload"),
-    Instr("push", 1), Instr("sub"),                        # c - 1
-    Instr("push", 0), Instr("mstore"),                     # MAIN[0] = c-1
-    Instr("push", 0), Instr("mload"),
-    Instr("jumpz", 14),                                    # exit when 0
-    Instr("push", 0), Instr("jumpz", 3),                   # loop back
-    Instr("push", 42), Instr("halt"),                      # pc=14
-]
+from plonky2_tpu.zkevm.kernel import KERNEL, assemble
+from plonky2_tpu.zkevm.kernel.aggregator import GLOBAL_BLOCK_GASLIMIT
 
 
-def test_simulator_logic_program():
-    sim = Simulator(LOGIC_PROGRAM)
+def asm(src: str) -> list:
+    """Assemble a user program against its load address."""
+    code, _ = assemble([src], base=KERNEL.user_base)
+    return code
+
+
+def run(src_or_code, trace=False, **kw):
+    code = asm(src_or_code) if isinstance(src_or_code, str) else src_or_code
+    sim = Simulator(code, trace=trace, max_cycles=kw.pop("max_cycles", 5000),
+                    **kw)
     sim.run()
-    assert sim.final_stack == [7]
+    return sim
 
 
-def test_simulator_loop_program():
-    sim = Simulator(LOOP_PROGRAM)
+# ------------------------------------------------------------ assembler
+
+def test_assembler_macros_labels():
+    code, labels = assemble(["""
+%macro twice(x)
+    PUSH $x
+    PUSH $x
+%endmacro
+global start:
+    %twice(7)
+    PUSH data
+    JUMP
+data:
+    WORDS 1 2 3
+"""])
+    assert labels == {"start": 0}
+    # twice(7) -> 2 instrs, PUSH data -> 1, JUMP -> 1, data at index 4
+    assert code[0] == (0x60, 7) and code[1] == (0x60, 7)
+    assert code[2] == (0x60, 4)
+    assert [imm for _, imm in code[4:]] == [1, 2, 3]
+
+
+def test_assembler_rejects_duplicate_label():
+    with pytest.raises(AssertionError):
+        assemble(["a:\n HALT\na:\n HALT\n"])
+
+
+def test_kernel_image_well_formed():
+    assert KERNEL.main_pc == KERNEL.global_labels["main"]
+    assert KERNEL.user_base == len(KERNEL.code)
+    img = KERNEL.image([(0x5B, 0), (0x00, 0)])  # JUMPDEST; STOP
+    addrs = {(s, v) for s, v, _ in img}
+    assert len(addrs) == len(img)  # distinct
+    # the user JUMPDEST got its jumpdest bit
+    from plonky2_tpu.zkevm.cpu import SEG_JUMPDEST
+    assert (SEG_JUMPDEST, KERNEL.user_base) in addrs
+
+
+# ------------------------------------------------------------ simulator
+
+def test_arithmetic_and_logic_ops():
+    sim = run("""
+global user_main:
+    PUSH 7
+    PUSH 5
+    ADD        // 12
+    PUSH 3
+    MUL        // 36
+    PUSH 5
+    SWAP1
+    SUB        // 31
+    PUSH 4
+    SWAP1
+    DIV        // 7
+    PUSH 12
+    AND        // 4
+    PUSH 3
+    XOR        // 7
+    PUSH 8
+    OR         // 15
+    PUSH 20
+    MOD        // 20 % 15 = 5 (top is the dividend, EVM order)
+    STOP
+""")
+    assert sim.exc_status == 0
+    assert sim.final_stack == [20 % 15]
+
+
+def test_cmp_not_byte_shift_ops():
+    sim = run("""
+global user_main:
+    PUSH 3
+    PUSH 5
+    GT         // 5 > 3 = 1
+    PUSH 9
+    LT         // 1 < 9 = 1
+    PUSH 1
+    EQ         // 1
+    ISZERO     // 0
+    NOT        // ~0
+    PUSH 0
+    BYTE       // top byte of ~0 = 0xff
+    PUSH 4
+    SHL        // 0xff0
+    PUSH 8
+    SHR        // 0xf
+    STOP
+""")
+    assert sim.final_stack == [0xF]
+
+
+def test_shift_by_ge_256_and_oversized():
+    sim = run("""
+global user_main:
+    PUSH 1
+    PUSH 300
+    SHL        // 0 (shift >= 256)
+    PUSH 5
+    PUSH 0x10000000000000000
+    SHR        // 0 (displacement >= 2^32: no shift-table entry)
+    STOP
+""")
+    assert sim.final_stack == [0, 0]
+
+
+def test_dup_swap_pop_pc_push0():
+    sim = run("""
+global user_main:
+    PUSH 1
+    PUSH 2
+    PUSH 3
+    DUP3       // [1,2,3,1]
+    SWAP2      // [1,1,3,2]... swap top with 3rd: [1,2,3,1]->[1,1,3,2]
+    POP        // [1,1,3]
+    ADD        // [1,4]
+    PC
+    PUSH0
+    STOP
+""")
+    assert sim.final_stack[:2] == [1, 4]
+    assert sim.final_stack[3] == 0          # PUSH0
+    assert sim.final_stack[2] == KERNEL.user_base + 7  # PC of the PC op
+
+
+def test_jump_loop_and_memory():
+    # sum 1..5 into MAIN[0] with a JUMPI loop
+    sim = run("""
+global user_main:
+    PUSH 5
+loop:
+    JUMPDEST
+    DUP1
+    PUSH 0
+    MLOAD
+    ADD
+    PUSH 0
+    MSTORE     // MAIN[0] += i
+    PUSH 1
+    SWAP1
+    SUB        // i -= 1
+    DUP1
+    PUSH loop
+    JUMPI
+    POP
+    PUSH 0
+    MLOAD
+    STOP
+""")
+    assert sim.final_stack == [15]
+    assert sim.memory[(SEG_MAIN, 0)] == 15
+
+
+def test_exp_and_gas_syscalls():
+    sim = run("""
+global user_main:
+    PUSH 10
+    PUSH 3
+    EXP
+    GAS
+    STOP
+""", global_values={GLOBAL_BLOCK_GASLIMIT: 1000})
+    assert sim.final_stack[0] == 3 ** 10
+    assert 0 < sim.final_stack[1] < 1000  # limit minus gas used so far
+
+
+def test_keccak256_syscall():
+    sim = run("""
+global user_main:
+    PUSH 0x61
+    PUSH 10
+    MSTORE8
+    PUSH 0x62
+    PUSH 11
+    MSTORE8
+    PUSH 2
+    PUSH 10
+    KECCAK256
+    STOP
+""")
+    assert sim.final_stack == [int.from_bytes(keccak256(b"ab"), "little")]
+
+
+def test_prover_input():
+    from plonky2_tpu.zkevm.kernel import build_kernel
+    kernel = build_kernel(main_source="global main:\n PROVER_INPUT\n"
+                          " PROVER_INPUT\n ADD\n HALT\n")
+    sim = Simulator(kernel=kernel, prover_inputs=(30, 12), trace=False)
     sim.run()
     assert sim.final_stack == [42]
-    assert sim.final_memory[(3, 0)] == 0  # SEG_MAIN counter ran to 0
+
+
+# ----------------------------------------------------------- exceptions
+
+def test_exc_invalid_opcode():
+    sim = run([(0xFE, 0)])  # INVALID
+    assert sim.exc_status == 1
+
+
+def test_exc_stack_underflow():
+    sim = run("global user_main:\n ADD\n STOP\n")
+    assert sim.exc_status == 1
+
+
+def test_exc_invalid_jump_and_jumpi():
+    sim = run("global user_main:\n PUSH 1\n JUMP\n")
+    assert sim.exc_status == 1
+    sim = run("global user_main:\n PUSH 1\n PUSH 3\n JUMPI\n")
+    assert sim.exc_status == 1
+    # JUMPI with false condition does not fault
+    sim = run("global user_main:\n PUSH 0\n PUSH 3\n JUMPI\n STOP\n")
+    assert sim.exc_status == 0
+
+
+def test_exc_out_of_gas():
+    sim = run("""
+global user_main:
+    PUSH 1
+    PUSH 2
+    ADD
+    PUSH 3
+    ADD
+    PUSH 4
+    ADD
+    STOP
+""", global_values={GLOBAL_BLOCK_GASLIMIT: 5})
+    assert sim.exc_status == 1
+
+
+def test_exc_stack_overflow():
+    sim = run("""
+global user_main:
+loop:
+    JUMPDEST
+    PUSH 1
+    PUSH loop
+    JUMP
+""", max_cycles=20000)
+    assert sim.exc_status == 1
 
 
 def test_traces_checkpoint_rollback():
@@ -60,95 +282,126 @@ def test_traces_checkpoint_rollback():
     assert t.memory_ops == ["a"] and t.logic_ops == []
 
 
+# ------------------------------------------------------------ AIR + CTL
+
 def test_cpu_low_degree():
     low_degree_check(CpuStark())
 
 
-def test_cpu_trace_air():
-    starks, traces, _ = generate_traces(LOGIC_PROGRAM,
-                                        include_arithmetic=False)
+COMPREHENSIVE = """
+global user_main:
+    PUSH 0x61
+    PUSH 10
+    MSTORE8
+    PUSH 1
+    PUSH 10
+    KECCAK256      // keccak("a")
+    PUSH 0
+    MSTORE
+    PUSH 3
+loop:
+    JUMPDEST
+    DUP1
+    ISZERO
+    PUSH done
+    JUMPI
+    PUSH 1
+    SWAP1
+    SUB
+    PUSH loop
+    JUMP
+done:
+    JUMPDEST
+    POP
+    PUSH 0
+    MLOAD
+    PUSH 0xff
+    AND
+    PUSH 2
+    EXP            // 2^(digest&0xff)
+    STOP
+"""
+
+
+def _checked_traces(src_or_code, **kw):
+    sim = Simulator(asm(src_or_code) if isinstance(src_or_code, str)
+                    else src_or_code, **kw)
+    starks, traces, sim = generate_traces(sim)
     for stark, trace in zip(starks, traces):
         check_constraints_on_trace(stark, trace)
+    check_ctls(traces, all_cross_table_lookups(starks))
+    return sim, starks, traces
 
 
-def test_mini_evm_ctl_consistency():
-    """All tables (incl. the program ROM) tie together over the CTLs for
-    a looping program with arithmetic, logic and memory traffic."""
-    starks, traces, _ = generate_traces(LOOP_PROGRAM,
-                                        include_arithmetic=True)
-    ctls = all_cross_table_lookups(starks)
-    check_ctls(traces, ctls)
-    # every AIR is satisfied (arithmetic checked on a truncated slice of
-    # its 2^16-row range table would be meaningless; check in full)
-    for stark, trace in zip(starks, traces):
-        check_constraints_on_trace(stark, trace)
+def test_comprehensive_air_and_ctls():
+    """Jumps, loops, dup/swap, keccak, exp, memory — every table AIR
+    satisfied and the whole seven-table CTL web consistent."""
+    sim, starks, traces = _checked_traces(COMPREHENSIVE)
+    digest = int.from_bytes(keccak256(b"a"), "little")
+    assert sim.final_stack == [pow(2, digest & 0xFF, 1 << 256)]
+    names = [type(s).__name__ for s in starks]
+    assert names == ["CpuStark", "MemoryStark", "LogicStark",
+                     "ArithmeticStark", "KeccakSpongeStark", "KeccakStark",
+                     "ProgramStark"]
 
 
-def test_cpu_bad_jump_rejected():
-    starks, traces, _ = generate_traces(LOGIC_PROGRAM,
-                                        include_arithmetic=False)
-    cpu = starks[0]
-    trace = traces[0]
-    # flip a jump_taken flag on the jumpz row
-    rows = np.nonzero(trace[cpu.OP["jumpz"]])[0]
-    trace[cpu.JUMP_TAKEN, rows[0]] ^= 1
+def test_exception_path_air_and_ctls():
+    """A user fault traps through the exception jumptable; the handler
+    re-verifies it in software and the whole pipeline stays provable."""
+    sim, _, _ = _checked_traces("global user_main:\n PUSH 1\n JUMP\n")
+    assert sim.exc_status == 1
+
+
+def test_tampered_push_value_rejected():
+    sim = Simulator(asm("global user_main:\n PUSH 5\n PUSH 3\n AND\n STOP\n"))
+    starks, traces, _ = generate_traces(sim)
+    cpu, trace = starks[0], traces[0]
+    row = np.nonzero(trace[cpu.OP["push"]])[0][0]
+    trace[cpu.CH_VALUE[4][0], row] ^= 1  # pushed word != immediate
     with pytest.raises(AssertionError):
         check_constraints_on_trace(cpu, trace)
 
 
-def test_keccak_opcode_pipeline():
-    """KECCAK/MSTORE8 ops: the CPU requests a hash from the sponge table,
-    which delegates to the keccak-f, logic and memory tables — the whole
-    six-table CTL web must be consistent and every AIR satisfied."""
-    from plonky2_tpu.hash.keccak import keccak256
-
-    prog = []
-    data = b"abc"
-    for i, b in enumerate(data):
-        prog += [Instr("push", b), Instr("push", 10 + i), Instr("mstore8")]
-    prog += [Instr("push", len(data)), Instr("push", 10),
-             Instr("keccak"), Instr("halt")]
-
-    sim = Simulator(prog)
-    sim.run()
-    assert sim.final_stack == [int.from_bytes(keccak256(data), "little")]
-
-    starks, traces, _ = generate_traces(prog, include_arithmetic=False)
-    assert len(starks) == 6  # cpu, memory, logic, sponge, keccak, program
-    ctls = all_cross_table_lookups(starks)
-    check_ctls(traces, ctls)
-    for stark, trace in zip(starks, traces):
-        check_constraints_on_trace(stark, trace)
-
-
-def test_mini_evm_prove_verify():
-    """Joint CPU+memory+logic+program proof with one shared transcript
-    (evm/src/prover.rs:45 / verifier.rs:29 shape), with the program ROM
-    commitment pinned to the public program."""
-    from plonky2_tpu.zkevm.generation import (prove_program,
-                                              verify_program_proof)
-    proof, starks, ctls, sim = prove_program(LOGIC_PROGRAM,
-                                             include_arithmetic=False)
-    assert sim.final_stack == [7]
-    verify_program_proof(starks, ctls, proof, program=LOGIC_PROGRAM)
-    # a different public program must be rejected
-    other = list(LOGIC_PROGRAM)
-    other[0] = Instr("push", 6)
+def test_forged_jumpdest_bit_rejected():
+    """A jump to a non-JUMPDEST can only be 'proven' by faking the
+    jumpdest-bit read — which the memory CTL rejects."""
+    sim = Simulator(asm("""
+global user_main:
+    PUSH target
+target:             // no JUMPDEST here -> valid path is the exception
+    JUMP
+"""))
+    starks, traces, _ = generate_traces(sim)
+    cpu, trace = starks[0], traces[0]
+    assert sim.exc_status == 1
+    exc_row = np.nonzero(trace[cpu.OP["exception"]])[0]
+    assert len(exc_row)  # the honest trace took the exception path
+    # forge: rewrite the exception row into a successful jump
+    r = exc_row[0]
+    trace[cpu.OP["exception"], r] = 0
+    trace[cpu.OP["jump"], r] = 1
     with pytest.raises(AssertionError):
-        verify_program_proof(starks, ctls, proof, program=other)
+        check_constraints_on_trace(cpu, trace)
+        check_ctls(traces, all_cross_table_lookups(starks))
 
 
-def test_keccak_pipeline_prove_verify():
-    """Six-table proof: CPU hashing memory bytes through the sponge,
-    keccak-f, logic and memory tables plus the program ROM."""
+# ------------------------------------------------------------- proving
+
+def test_prove_verify_with_rom_binding():
+    """Joint multi-table proof with one shared transcript, the program
+    ROM commitment pinned to the public kernel + user code
+    (evm/src/prover.rs:45 / verifier.rs:29)."""
     from plonky2_tpu.zkevm.generation import (prove_program,
                                               verify_program_proof)
-    prog = [Instr("push", 0x61), Instr("push", 10), Instr("mstore8"),
-            Instr("push", 0x62), Instr("push", 11), Instr("mstore8"),
-            Instr("push", 2), Instr("push", 10), Instr("keccak"),
-            Instr("halt")]
-    proof, starks, ctls, sim = prove_program(prog,
+    src = ("global user_main:\n PUSH 5\n PUSH 3\n AND\n PUSH 2\n OR\n"
+           " STOP\n")
+    code = asm(src)
+    proof, starks, ctls, sim = prove_program(code,
                                              include_arithmetic=False)
-    from plonky2_tpu.hash.keccak import keccak256
-    assert sim.final_stack == [int.from_bytes(keccak256(b"ab"), "little")]
-    verify_program_proof(starks, ctls, proof, program=prog)
+    assert sim.final_stack == [(5 & 3) | 2]
+    verify_program_proof(starks, ctls, proof, user_code=code)
+    # a different public program must be rejected
+    other = list(code)
+    other[0] = (0x60, 6)
+    with pytest.raises(AssertionError):
+        verify_program_proof(starks, ctls, proof, user_code=other)

@@ -1,0 +1,238 @@
+"""In-machine trie read/insert (kernel/asm/mpt_ops.asm) against the
+host twins, and the transfer block (kernel/asm/txn.asm) end-to-end in
+the interpreter (reference evm/src/cpu/kernel/tests/mpt/insert.rs +
+evm/tests/simple_transfer.rs, interpreter level)."""
+
+import pytest
+
+from plonky2_tpu.zkevm import mpt, rlp
+from plonky2_tpu.zkevm.generation import Simulator
+from plonky2_tpu.zkevm.kernel.aggregator import build_kernel
+from plonky2_tpu.zkevm.transfer import (BlockMetadata, GenerationInputs,
+                                        Transfer, apply_transfer,
+                                        public_values, simulate_transfer)
+
+# ------------------------------------------------------- mpt_read/insert
+
+MAIN_INSERT = """
+global main:
+    PUSH 1
+    %mstore_global(@GLOBAL_TRIE_ALLOC)
+    PUSH t_loaded
+    PUSH parse_storage_value
+    %stack (p, r) -> (p, r)
+    %jump(mpt_load_node)
+t_loaded:
+    // stack: root
+    PROVER_INPUT                 // n_ops
+t_loop:
+    // stack: n, root
+    DUP1
+    ISZERO
+    %jumpi(t_done)
+    PROVER_INPUT                 // count
+    PROVER_INPUT                 // packed
+    PROVER_INPUT                 // value
+    PUSH 1
+    %trie_alloc                  // [vptr, value, packed, count, n, root]
+    %stack (vptr, value) -> (vptr, value, vptr)
+    %trie_write                  // [vptr, packed, count, n, root]
+    %stack (vptr, packed, count, n, root) -> (root, count, packed, vptr, t_ins, n)
+    %jump(mpt_insert)
+t_ins:
+    // stack: newroot, n
+    SWAP1
+    PUSH 1
+    SWAP1
+    SUB                          // [n-1, newroot]
+    %jump(t_loop)
+t_done:
+    POP
+    %stack (root) -> (root, encode_storage_value, t_hashed)
+    %jump(mpt_hash)
+t_hashed:
+    HALT
+"""
+
+MAIN_READ = """
+global main:
+    PUSH 1
+    %mstore_global(@GLOBAL_TRIE_ALLOC)
+    PUSH r_loaded
+    PUSH parse_storage_value
+    %stack (p, r) -> (p, r)
+    %jump(mpt_load_node)
+r_loaded:
+    // stack: root
+    PROVER_INPUT                 // n
+    PUSH 0                       // i
+r_loop:
+    // stack: i, n, root
+    DUP2
+    DUP2
+    EQ
+    %jumpi(r_done)
+    PROVER_INPUT                 // count
+    PROVER_INPUT                 // packed
+    DUP5                         // [root, packed, count, i, n, root]
+    %stack (root, packed, count) -> (root, count, packed, r_read)
+    %jump(mpt_read)
+r_read:
+    // stack: vptr, i, n, root
+    DUP1
+    ISZERO
+    %jumpi(r_store)
+    %trie_read                   // storage word at the hit
+    PUSH 1
+    ADD                          // encode presence as value+1
+r_store:
+    // stack: res, i, n, root
+    DUP2
+    PUSH @SEGMENT_MAIN
+    MSTORE_GENERAL               // MAIN[i] = res
+    PUSH 1
+    ADD
+    %jump(r_loop)
+r_done:
+    HALT
+"""
+
+
+def _storage_trie(kv: dict):
+    t = mpt.Empty()
+    for k, v in kv.items():
+        t = mpt.trie_insert(t, k, rlp.encode(v))
+    return t
+
+
+def _key(b: bytes) -> tuple:
+    return mpt.bytes_to_nibbles(b)
+
+
+def _run(main, inputs, max_cycles=4_000_000):
+    kernel = build_kernel(main_source=main)
+    sim = Simulator(kernel=kernel, prover_inputs=inputs, trace=False,
+                    max_cycles=max_cycles)
+    sim.run()
+    return sim
+
+
+def test_kernel_mpt_read_matches_host():
+    kv = {_key(b"\x12\x34"): 111, _key(b"\x12\x35"): 222,
+          _key(b"\x12"): 333, _key(b"\x99\x00\x01"): 2 ** 200,
+          (): 444}
+    t = _storage_trie(kv)
+    queries = list(kv) + [_key(b"\x12\x36"), _key(b"\x45"),
+                          _key(b"\x12\x34\x01"), (9,)]
+    pi = mpt.prover_inputs(t, mpt._parse_storage_value)
+    pi.append(len(queries))
+    for q in queries:
+        pi += [len(q), mpt.pack_nibbles(q)]
+    sim = _run(MAIN_READ, pi)
+    from plonky2_tpu.zkevm.cpu import SEG_MAIN
+    for i, q in enumerate(queries):
+        want = mpt.trie_get(t, q)
+        want = rlp.decode_int(rlp.decode(want)) + 1 if want is not None else 0
+        assert sim.memory.get((SEG_MAIN, i), 0) == want, (i, q)
+
+
+@pytest.mark.parametrize("case", ["fresh", "split", "deep"])
+def test_kernel_mpt_insert_matches_host(case):
+    if case == "fresh":
+        base, ins = {}, [(_key(b"\xab\xcd"), 5)]
+    elif case == "split":
+        base = {_key(b"\x12\x34\x56"): 1}
+        ins = [(_key(b"\x12\x34\x99"), 7), (_key(b"\x12"), 8),
+               (_key(b"\x12\x34\x56"), 9)]
+    else:
+        base = {_key(bytes([i, i * 3 % 256])): i + 1 for i in range(12)}
+        ins = [(_key(bytes([i, i * 5 % 256, 7])), i + 100)
+               for i in range(8)]
+    t = _storage_trie(base)
+    pi = mpt.prover_inputs(t, mpt._parse_storage_value)
+    pi.append(len(ins))
+    for k, v in ins:
+        pi += [len(k), mpt.pack_nibbles(k), v]
+    expect = t
+    for k, v in ins:
+        expect = mpt.trie_insert(expect, k, rlp.encode(v))
+    sim = _run(MAIN_INSERT, pi)
+    got = sim.final_stack[-1]
+    assert got == int.from_bytes(mpt.trie_hash(expect), "little")
+
+
+# ------------------------------------------------------- transfer block
+
+A = bytes.fromhex("a94f5374fce5edbc8e2a8697c15331677e6ebf0b")
+B = bytes.fromhex("095e7baea6a6c7c4c2dfeb977efac326af552d87")
+COINBASE = bytes.fromhex("2adc25665018aa1fe0e6bc666dac8fc2697ff9ba")
+
+
+def _base_inputs(to=B, value=4 * 10 ** 15, nonce=5, gas_price=10,
+                 extra_accounts=()):
+    state = mpt.Empty()
+    sender = mpt.Account(nonce=nonce, balance=10 ** 18)
+    state = mpt.trie_insert(state, mpt.state_key(A), sender.encode())
+    for addr, acct in extra_accounts:
+        state = mpt.trie_insert(state, mpt.state_key(addr), acct.encode())
+    return GenerationInputs(
+        txn=Transfer(sender=A, to=to, value=value, nonce=nonce,
+                     gas_price=gas_price),
+        tries=mpt.TrieInputs(state_trie=state),
+        block_metadata=BlockMetadata(beneficiary=COINBASE, number=1,
+                                     timestamp=1_000_000))
+
+
+def test_transfer_fresh_recipient():
+    """simple_transfer.rs:29 shape: to-account does not exist yet."""
+    inputs = _base_inputs()
+    sim, pv = simulate_transfer(inputs, trace=False)
+    # the kernel checked all six roots in-machine; cross-check the host
+    after = apply_transfer(inputs)
+    assert pv.trie_roots_after.state == mpt.trie_hash(after.state_trie)
+    to = mpt.Account.decode(
+        mpt.trie_get(after.state_trie, mpt.state_key(B)))
+    assert to.balance == 4 * 10 ** 15 and to.nonce == 0
+    cb = mpt.Account.decode(
+        mpt.trie_get(after.state_trie, mpt.state_key(COINBASE)))
+    assert cb.balance == 10 * 21000
+
+
+def test_transfer_existing_recipient_and_zero_fee():
+    inputs = _base_inputs(gas_price=0, extra_accounts=[
+        (B, mpt.Account(nonce=3, balance=77))])
+    sim, pv = simulate_transfer(inputs, trace=False)
+    after = apply_transfer(inputs)
+    to = mpt.Account.decode(
+        mpt.trie_get(after.state_trie, mpt.state_key(B)))
+    assert to.balance == 77 + 4 * 10 ** 15 and to.nonce == 3
+
+
+def test_transfer_wrong_after_root_panics():
+    """A forged after-state-root sends the kernel into the panic spin —
+    no HALT row, no proof."""
+    from plonky2_tpu.zkevm.kernel.aggregator import GLOBAL_STATE_ROOT_AFTER
+    from plonky2_tpu.zkevm.transfer import (global_values_for,
+                                            txn_kernel)
+    inputs = _base_inputs()
+    pv = public_values(inputs)
+    gv = global_values_for(pv)
+    gv[GLOBAL_STATE_ROOT_AFTER] ^= 1
+    sim = Simulator(kernel=txn_kernel(), global_values=gv,
+                    prover_inputs=mpt.state_prover_inputs(inputs.tries),
+                    trace=False, max_cycles=400_000)
+    with pytest.raises(RuntimeError):
+        sim.run()
+
+
+def test_transfer_bad_nonce_rejected():
+    inputs = _base_inputs()
+    object.__setattr__(inputs.txn, "nonce", 6)  # sender nonce is 5
+    with pytest.raises(AssertionError):
+        apply_transfer(inputs)
+
+
+def test_transfer_insufficient_balance_rejected():
+    inputs = _base_inputs(value=2 * 10 ** 18)
+    with pytest.raises(AssertionError):
+        apply_transfer(inputs)
