@@ -28,6 +28,20 @@ class CircuitConfig:
     def standard_recursion_zk_config() -> "CircuitConfig":
         return CircuitConfig(zero_knowledge=True)
 
+    @staticmethod
+    def standard_ecc_config() -> "CircuitConfig":
+        """reference plonk/circuit_data.rs:92 (one extra advice wire for
+        curve gadgets)."""
+        return CircuitConfig(num_wires=136)
+
+    @staticmethod
+    def wide_ecc_config() -> "CircuitConfig":
+        """reference plonk/circuit_data.rs:99"""
+        return CircuitConfig(num_wires=234)
+
+    def num_advice_wires(self) -> int:
+        return self.num_wires - self.num_routed_wires
+
 
 class PlonkOracle:
     """Commitment (oracle) indices + blinding flags (plonk_common.rs:17-39)."""

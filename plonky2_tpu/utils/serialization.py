@@ -60,8 +60,9 @@ class Buffer:
         self.write_field_vec(np.asarray(v, dtype=np.uint64).reshape(2))
 
     def write_ext_vec(self, vs):
+        """Extension elements back to back, NO length prefix — lengths are
+        derived from CommonCircuitData on read (reference mod.rs:1270)."""
         vs = np.asarray(vs, dtype=np.uint64).reshape(-1, 2)
-        self.write_usize(len(vs))
         for v in vs:
             self.write_ext(v)
 
@@ -69,12 +70,21 @@ class Buffer:
         self.write_field_vec(np.asarray(h, dtype=np.uint64).reshape(4))
 
     def write_cap(self, cap: MerkleCap):
-        self.write_usize(cap.data.shape[0])
+        """Cap hashes back to back, NO length prefix (mod.rs:1367) — the
+        reader knows cap_height from the config."""
         for h in cap.data:
             self.write_hash(h)
 
+    def write_hash_vec(self, hashes):
+        """usize-length-prefixed hash list (mod.rs:1352)."""
+        hashes = np.asarray(hashes, dtype=np.uint64).reshape(-1, 4)
+        self.write_usize(len(hashes))
+        for h in hashes:
+            self.write_hash(h)
+
     def write_merkle_proof(self, proof: MerkleProof):
-        self.write_usize(len(proof.siblings))
+        """u8 sibling count + hashes (mod.rs:1443)."""
+        self.write_u8(len(proof.siblings))
         for h in proof.siblings:
             self.write_hash(h)
 
@@ -111,19 +121,22 @@ class Buffer:
     def read_ext(self) -> np.ndarray:
         return self.read_field_vec(2)
 
-    def read_ext_vec(self) -> np.ndarray:
-        n = self.read_usize()
+    def read_ext_vec(self, n: int) -> np.ndarray:
         return self.read_field_vec(2 * n).reshape(n, 2)
 
     def read_hash(self) -> np.ndarray:
         return self.read_field_vec(4)
 
-    def read_cap(self) -> MerkleCap:
-        n = self.read_usize()
+    def read_cap(self, cap_height: int) -> MerkleCap:
+        n = 1 << cap_height
         return MerkleCap(self.read_field_vec(4 * n).reshape(n, 4))
 
-    def read_merkle_proof(self) -> MerkleProof:
+    def read_hash_vec(self) -> np.ndarray:
         n = self.read_usize()
+        return self.read_field_vec(4 * n).reshape(n, 4)
+
+    def read_merkle_proof(self) -> MerkleProof:
+        n = self.read_u8()
         return MerkleProof(self.read_field_vec(4 * n).reshape(n, 4))
 
     def read_str(self) -> str:
@@ -131,23 +144,100 @@ class Buffer:
         return self._take(n).decode("utf-8")
 
 
-# -- proofs -----------------------------------------------------------------
+# -- proofs (byte-exact reference wire format) -------------------------------
+#
+# The proof encoding carries NO redundant length prefixes: every count is
+# derived from CommonCircuitData on read, exactly as the reference does
+# (mod.rs write_proof:1939 / read_proof:334-580).  Bytes produced here match
+# the Rust encoder field for field; tests/test_serialization.py checks a
+# hand-encoded golden vector.
+
+SALT_SIZE = 4  # reference plonk_common.rs salt_size(hiding): 4 felts
+
 
 def write_opening_set(buf: Buffer, os_: OpeningSet):
+    """Field order per reference mod.rs:1409 (lookups between zs_next and
+    partial_products)."""
     for arr in (os_.constants, os_.plonk_sigmas, os_.wires, os_.plonk_zs,
-                os_.plonk_zs_next, os_.partial_products, os_.quotient_polys,
-                os_.lookup_zs, os_.lookup_zs_next):
+                os_.plonk_zs_next, os_.lookup_zs, os_.lookup_zs_next,
+                os_.partial_products, os_.quotient_polys):
         buf.write_ext_vec(arr)
 
 
-def read_opening_set(buf: Buffer) -> OpeningSet:
-    return OpeningSet(*(buf.read_ext_vec() for _ in range(9)))
+def read_opening_set(buf: Buffer, common) -> OpeningSet:
+    """reference mod.rs:334"""
+    cfg = common.config
+    constants = buf.read_ext_vec(common.num_constants)
+    plonk_sigmas = buf.read_ext_vec(cfg.num_routed_wires)
+    wires = buf.read_ext_vec(cfg.num_wires)
+    plonk_zs = buf.read_ext_vec(cfg.num_challenges)
+    plonk_zs_next = buf.read_ext_vec(cfg.num_challenges)
+    lookup_zs = buf.read_ext_vec(common.num_all_lookup_polys())
+    lookup_zs_next = buf.read_ext_vec(common.num_all_lookup_polys())
+    partial_products = buf.read_ext_vec(common.num_partial_products
+                                        * cfg.num_challenges)
+    quotient_polys = buf.read_ext_vec(common.quotient_degree_factor
+                                      * cfg.num_challenges)
+    return OpeningSet(constants, plonk_sigmas, wires, plonk_zs, plonk_zs_next,
+                      partial_products, quotient_polys, lookup_zs,
+                      lookup_zs_next)
 
 
 def write_fri_proof(buf: Buffer, fp: FriProof):
-    buf.write_usize(len(fp.commit_phase_merkle_caps))
+    """reference mod.rs:1568 — caps, query rounds, final poly, pow witness,
+    all without counts (they follow from FriParams)."""
     for cap in fp.commit_phase_merkle_caps:
         buf.write_cap(cap)
+    for q in fp.query_round_proofs:
+        for leaves, mp in q.initial_trees_proof.evals_proofs:
+            buf.write_field_vec(leaves)
+            buf.write_merkle_proof(mp)
+        for s in q.steps:
+            buf.write_ext_vec(s.evals)
+            buf.write_merkle_proof(s.merkle_proof)
+    buf.write_ext_vec(fp.final_poly)
+    buf.write_field(fp.pow_witness)
+
+
+def read_fri_proof(buf: Buffer, common) -> FriProof:
+    """reference mod.rs:555 (+read_fri_initial_proof:422,
+    read_fri_query_rounds:506)."""
+    cfg = common.config
+    params = common.fri_params
+    cap_height = cfg.fri_config.cap_height
+    caps = [buf.read_cap(cap_height) for _ in params.reduction_arity_bits]
+    salt = SALT_SIZE if params.hiding else 0
+    oracle_widths = [
+        common.num_constants + cfg.num_routed_wires,
+        cfg.num_wires + salt,
+        cfg.num_challenges * (1 + common.num_partial_products
+                              + common.num_lookup_polys) + salt,
+        cfg.num_challenges * common.quotient_degree_factor + salt,
+    ]
+    rounds = []
+    for _ in range(cfg.fri_config.num_query_rounds):
+        evals_proofs = []
+        for width in oracle_widths:
+            leaves = buf.read_field_vec(width)
+            evals_proofs.append((leaves, buf.read_merkle_proof()))
+        steps = [FriQueryStep(buf.read_ext_vec(1 << ar),
+                              buf.read_merkle_proof())
+                 for ar in params.reduction_arity_bits]
+        rounds.append(FriQueryRound(FriInitialTreeProof(evals_proofs), steps))
+    final_poly = buf.read_ext_vec(params.final_poly_len())
+    pow_witness = buf.read_field()
+    return FriProof(caps, rounds, final_poly, pow_witness)
+
+
+# Self-describing FRI proof variant for containers whose reader has no
+# CommonCircuitData in hand (zkevm multi-table proofs carry heterogeneous
+# per-table FRI shapes; the reference reads those with per-table configs,
+# we keep them length-prefixed instead).
+
+def write_fri_proof_sd(buf: Buffer, fp: FriProof):
+    buf.write_usize(len(fp.commit_phase_merkle_caps))
+    for cap in fp.commit_phase_merkle_caps:
+        buf.write_hash_vec(cap.data)
     buf.write_usize(len(fp.query_round_proofs))
     for q in fp.query_round_proofs:
         buf.write_usize(len(q.initial_trees_proof.evals_proofs))
@@ -157,14 +247,18 @@ def write_fri_proof(buf: Buffer, fp: FriProof):
             buf.write_merkle_proof(mp)
         buf.write_usize(len(q.steps))
         for s in q.steps:
-            buf.write_ext_vec(s.evals)
+            evals = np.asarray(s.evals, dtype=np.uint64).reshape(-1, 2)
+            buf.write_usize(len(evals))
+            buf.write_ext_vec(evals)
             buf.write_merkle_proof(s.merkle_proof)
-    buf.write_ext_vec(fp.final_poly)
+    final_poly = np.asarray(fp.final_poly, dtype=np.uint64).reshape(-1, 2)
+    buf.write_usize(len(final_poly))
+    buf.write_ext_vec(final_poly)
     buf.write_field(fp.pow_witness)
 
 
-def read_fri_proof(buf: Buffer) -> FriProof:
-    caps = [buf.read_cap() for _ in range(buf.read_usize())]
+def read_fri_proof_sd(buf: Buffer) -> FriProof:
+    caps = [MerkleCap(buf.read_hash_vec()) for _ in range(buf.read_usize())]
     rounds = []
     for _ in range(buf.read_usize()):
         evals_proofs = []
@@ -172,10 +266,11 @@ def read_fri_proof(buf: Buffer) -> FriProof:
             n = buf.read_usize()
             leaves = buf.read_field_vec(n)
             evals_proofs.append((leaves, buf.read_merkle_proof()))
-        steps = [FriQueryStep(buf.read_ext_vec(), buf.read_merkle_proof())
+        steps = [FriQueryStep(buf.read_ext_vec(buf.read_usize()),
+                              buf.read_merkle_proof())
                  for _ in range(buf.read_usize())]
         rounds.append(FriQueryRound(FriInitialTreeProof(evals_proofs), steps))
-    final_poly = buf.read_ext_vec()
+    final_poly = buf.read_ext_vec(buf.read_usize())
     pow_witness = buf.read_field()
     return FriProof(caps, rounds, final_poly, pow_witness)
 
@@ -188,12 +283,16 @@ def write_proof(buf: Buffer, proof: Proof):
     write_fri_proof(buf, proof.opening_proof)
 
 
-def read_proof(buf: Buffer) -> Proof:
-    return Proof(buf.read_cap(), buf.read_cap(), buf.read_cap(),
-                 read_opening_set(buf), read_fri_proof(buf))
+def read_proof(buf: Buffer, common) -> Proof:
+    cap_height = common.config.fri_config.cap_height
+    return Proof(buf.read_cap(cap_height), buf.read_cap(cap_height),
+                 buf.read_cap(cap_height), read_opening_set(buf, common),
+                 read_fri_proof(buf, common))
 
 
 def proof_with_pis_to_bytes(pwp: ProofWithPublicInputs) -> bytes:
+    """reference mod.rs:1963 write_proof_with_public_inputs (the one spot
+    that IS length-prefixed: the public-input count)."""
     buf = Buffer()
     write_proof(buf, pwp.proof)
     buf.write_usize(len(pwp.public_inputs))
@@ -201,9 +300,9 @@ def proof_with_pis_to_bytes(pwp: ProofWithPublicInputs) -> bytes:
     return buf.bytes()
 
 
-def proof_with_pis_from_bytes(data: bytes) -> ProofWithPublicInputs:
+def proof_with_pis_from_bytes(data: bytes, common) -> ProofWithPublicInputs:
     buf = Buffer(data)
-    proof = read_proof(buf)
+    proof = read_proof(buf, common)
     n = buf.read_usize()
     return ProofWithPublicInputs(proof, buf.read_field_vec(n))
 
@@ -385,7 +484,10 @@ def common_data_from_bytes(data: bytes) -> CommonCircuitData:
 
 
 def verifier_data_to_bytes(vd: VerifierOnlyCircuitData) -> bytes:
+    """reference mod.rs:1889 — usize cap height, cap hashes, digest."""
+    import math
     buf = Buffer()
+    buf.write_usize(int(math.log2(vd.constants_sigmas_cap.data.shape[0])))
     buf.write_cap(vd.constants_sigmas_cap)
     buf.write_hash(vd.circuit_digest)
     return buf.bytes()
@@ -393,4 +495,5 @@ def verifier_data_to_bytes(vd: VerifierOnlyCircuitData) -> bytes:
 
 def verifier_data_from_bytes(data: bytes) -> VerifierOnlyCircuitData:
     buf = Buffer(data)
-    return VerifierOnlyCircuitData(buf.read_cap(), buf.read_hash())
+    height = buf.read_usize()
+    return VerifierOnlyCircuitData(buf.read_cap(height), buf.read_hash())

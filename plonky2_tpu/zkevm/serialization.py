@@ -8,7 +8,9 @@ import numpy as np
 
 from ..stark.multi import (MultiProof, MultiStarkOpeningSet,
                            MultiTableStarkProof)
-from ..utils.serialization import Buffer, read_fri_proof, write_fri_proof
+from ..hash.merkle import MerkleCap
+from ..utils.serialization import (Buffer, read_fri_proof_sd,
+                                   write_fri_proof_sd)
 
 
 def _write_ext_matrix(buf: Buffer, m: np.ndarray) -> None:
@@ -25,9 +27,9 @@ def _read_ext_matrix(buf: Buffer) -> np.ndarray:
 
 def write_multi_stark_proof(buf: Buffer, p: MultiTableStarkProof) -> None:
     buf.write_usize(p.degree_bits)
-    buf.write_cap(p.trace_cap)
-    buf.write_cap(p.permutation_ctl_zs_cap)
-    buf.write_cap(p.quotient_polys_cap)
+    buf.write_hash_vec(p.trace_cap.data)
+    buf.write_hash_vec(p.permutation_ctl_zs_cap.data)
+    buf.write_hash_vec(p.quotient_polys_cap.data)
     o = p.openings
     _write_ext_matrix(buf, o.local_values)
     _write_ext_matrix(buf, o.next_values)
@@ -36,7 +38,7 @@ def write_multi_stark_proof(buf: Buffer, p: MultiTableStarkProof) -> None:
     buf.write_usize(len(o.ctl_zs_last))
     buf.write_field_vec(np.asarray(o.ctl_zs_last, np.uint64))
     _write_ext_matrix(buf, o.quotient_polys)
-    write_fri_proof(buf, p.opening_proof)
+    write_fri_proof_sd(buf, p.opening_proof)
     # challenger boundary state (StarkProofWithMetadata): staged per-table
     # recursion asserts its presence, so round-tripped proofs must carry
     # it.  Presence flag + the 12-felt sponge state.
@@ -49,9 +51,9 @@ def write_multi_stark_proof(buf: Buffer, p: MultiTableStarkProof) -> None:
 
 def read_multi_stark_proof(buf: Buffer) -> MultiTableStarkProof:
     degree_bits = buf.read_usize()
-    trace_cap = buf.read_cap()
-    zs_cap = buf.read_cap()
-    quot_cap = buf.read_cap()
+    trace_cap = MerkleCap(buf.read_hash_vec())
+    zs_cap = MerkleCap(buf.read_hash_vec())
+    quot_cap = MerkleCap(buf.read_hash_vec())
     local_values = _read_ext_matrix(buf)
     next_values = _read_ext_matrix(buf)
     zs = _read_ext_matrix(buf)
@@ -59,7 +61,7 @@ def read_multi_stark_proof(buf: Buffer) -> MultiTableStarkProof:
     n_ctl = buf.read_usize()
     ctl_zs_last = buf.read_field_vec(n_ctl)
     quotient_polys = _read_ext_matrix(buf)
-    opening_proof = read_fri_proof(buf)
+    opening_proof = read_fri_proof_sd(buf)
     init_state = buf.read_field_vec(12) if buf.read_u8() else None
     return MultiTableStarkProof(
         trace_cap=trace_cap,
