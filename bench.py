@@ -7,8 +7,9 @@ The metric is the BASELINE.md north-star "NTT throughput (Goldilocks
 elems/s/chip)": a batch of 64 polynomials of 2^16 coefficients is
 low-degree-extended (rate 8, coset-shifted) — i.e. 64 stage-skipped NTTs of
 size 2^19 per call.  Throughput counts output elements per second.
-`vs_baseline` is 1.0: the reference publishes no machine numbers
-(BASELINE.md; its criterion benches measure locally and record nothing).
+`vs_baseline` is measured against ROUND 1's recorded number (0.81 G
+elems/s/chip, BASELINE.md) so regressions are visible; the reference
+publishes no machine numbers of its own.
 
 Timing methodology: the device is reached through a network tunnel, where
 per-dispatch round-trips and result caching make naive loops meaningless.
@@ -72,11 +73,12 @@ def main():
     dt = time.perf_counter() - t0
 
     throughput = out_elems * reps / dt
+    ROUND1_THROUGHPUT = 0.81e9  # BASELINE.md, BENCH_r01.json
     print(json.dumps({
         "metric": "ntt_lde_throughput",
         "value": throughput,
         "unit": "goldilocks_elems_per_sec_per_chip",
-        "vs_baseline": 1.0,
+        "vs_baseline": throughput / ROUND1_THROUGHPUT,
     }))
 
 

@@ -37,24 +37,28 @@ class PolynomialBatch:
     """A batch of committed polynomials (coefficients on device + Merkle tree)."""
 
     def __init__(self, polynomials: GF, merkle_tree: MerkleTree, degree_log: int,
-                 rate_bits: int, blinding: bool):
+                 rate_bits: int, blinding: bool, hasher: str = "poseidon"):
         self.polynomials = polynomials  # (num_polys, n) coefficient rows
         self.merkle_tree = merkle_tree
         self.degree_log = degree_log
         self.rate_bits = rate_bits
         self.blinding = blinding
+        self.hasher = hasher
         self._lde_values = None
 
     @classmethod
     def from_values(cls, values: GF, rate_bits: int, blinding: bool,
-                    cap_height: int, timing=None) -> "PolynomialBatch":
+                    cap_height: int, timing=None,
+                    hasher: str = "poseidon") -> "PolynomialBatch":
         """values: (num_polys, n) evaluations over the subgroup."""
         coeffs = ntt.intt(values)
-        return cls.from_coeffs(coeffs, rate_bits, blinding, cap_height, timing)
+        return cls.from_coeffs(coeffs, rate_bits, blinding, cap_height, timing,
+                               hasher)
 
     @classmethod
     def from_coeffs(cls, polynomials: GF, rate_bits: int, blinding: bool,
-                    cap_height: int, timing=None) -> "PolynomialBatch":
+                    cap_height: int, timing=None,
+                    hasher: str = "poseidon") -> "PolynomialBatch":
         n = polynomials.shape[-1]
         lde_values = ntt.lde(polynomials, rate_bits, shift=COSET_SHIFT)
         leaf_cols = lde_values
@@ -75,8 +79,13 @@ class PolynomialBatch:
         leaves = leaf_cols.transpose(1, 0)
         perm = reverse_index_bits_perm(leaves.shape[0])
         leaves = leaves.take(perm, axis=0)
-        tree = MerkleTree(leaves, cap_height)
-        batch = cls(polynomials, tree, log2_strict(n), rate_bits, blinding)
+        if hasher == "keccak":
+            from ..hash.keccak_tree import BytesMerkleTree
+            tree = BytesMerkleTree(leaves, cap_height)
+        else:
+            tree = MerkleTree(leaves, cap_height)
+        batch = cls(polynomials, tree, log2_strict(n), rate_bits, blinding,
+                    hasher)
         # natural-order LDE rows kept on device for the quotient pass
         batch._lde_values = lde_values
         return batch
@@ -153,4 +162,5 @@ class PolynomialBatch:
             lde_values,
             challenger,
             fri_params,
+            hasher=oracles[0].hasher,
         )

@@ -38,8 +38,12 @@ def _flatten_ext_leaves(values: GF2, arity: int) -> GF:
 
 
 def fri_committed_trees(coeffs: GF2, values: GF2, challenger: Challenger,
-                        fri_params: FriParams):
+                        fri_params: FriParams, hasher: str = "poseidon"):
     """Commit phase (reference fri/prover.rs:69-113)."""
+    if hasher == "keccak":
+        from ..hash.keccak_tree import BytesMerkleTree as _Tree
+    else:
+        _Tree = MerkleTree
     trees = []
     shift = gl64.MULTIPLICATIVE_GROUP_GENERATOR
     n = values.shape[0]
@@ -48,7 +52,7 @@ def fri_committed_trees(coeffs: GF2, values: GF2, challenger: Challenger,
         perm = reverse_index_bits_perm(n)
         vals_br = values.take(perm, axis=0)
         leaves = _flatten_ext_leaves(vals_br, arity)
-        tree = MerkleTree(leaves, fri_params.config.cap_height)
+        tree = _Tree(leaves, fri_params.config.cap_height)
         challenger.observe_cap(tree.cap)
         trees.append(tree)
 
@@ -87,17 +91,37 @@ def fri_proof_of_work(challenger: Challenger, config: FriConfig) -> np.uint64:
         inter[:k] = np.array(challenger.input_buffer, dtype=np.uint64)
     pos = k
 
-    B = 1 << 16
+    from ..hash.poseidon import permute_np
+    keccak_duplex = challenger._permute is not permute_np
+    B = 1 << 12 if keccak_duplex else 1 << 16
     offset = 0
     witness = None
     while witness is None:
         cands = np.arange(offset, offset + B, dtype=np.uint64)
         states = np.broadcast_to(inter, (B, 12)).copy()
         states[:, pos] = cands
-        out = permute(GF.from_u64(states))
-        resp = out[:, 7].canonical()
-        lo, hi = np.asarray(resp.lo), np.asarray(resp.hi)
-        ok = (hi < thr_hi) | ((hi == thr_hi) & (lo < thr_lo))
+        if keccak_duplex:
+            # keccak hash-onion duplex (keccak_tree.keccak_permutation_np):
+            # response = output slot 7 = word 3 of the SECOND onion hash,
+            # assuming no rejection among the first 8 words (probability
+            # ~2^-32 per word; rejecting rows are just skipped — the exact
+            # replay below re-checks the winner).
+            from ..hash.keccak_tree import _absorb_blocks
+            buf = gl64.to_canonical(states).astype("<u8").view(
+                np.uint8).reshape(B, 96)
+            h1 = _absorb_blocks(buf)
+            h2 = _absorb_blocks(h1)
+            words = np.concatenate([
+                h1.reshape(B, 4, 8).copy().view("<u8").reshape(B, 4),
+                h2.reshape(B, 4, 8).copy().view("<u8").reshape(B, 4),
+            ], axis=1).astype(np.uint64)
+            valid = (words < np.uint64(gl64.ORDER_INT)).all(axis=1)
+            ok = valid & (words[:, 7] < np.uint64(threshold))
+        else:
+            out = permute(GF.from_u64(states))
+            resp = out[:, 7].canonical()
+            lo, hi = np.asarray(resp.lo), np.asarray(resp.hi)
+            ok = (hi < thr_hi) | ((hi == thr_hi) & (lo < thr_lo))
         hits = np.nonzero(ok)[0]
         if hits.size:
             witness = np.uint64(offset + int(hits[0]))
@@ -138,13 +162,14 @@ def fri_prover_query_round(initial_trees: list, trees: list, x_index: int,
 
 def fri_proof(initial_merkle_trees: list, lde_polynomial_coeffs: GF2,
               lde_polynomial_values: GF2, challenger: Challenger,
-              fri_params: FriParams) -> FriProof:
+              fri_params: FriParams, hasher: str = "poseidon") -> FriProof:
     """Top-level FRI proof (reference fri/prover.rs:20)."""
     n = lde_polynomial_values.shape[0]
     assert lde_polynomial_coeffs.shape[0] == n
 
     trees, final_coeffs = fri_committed_trees(
-        lde_polynomial_coeffs, lde_polynomial_values, challenger, fri_params)
+        lde_polynomial_coeffs, lde_polynomial_values, challenger, fri_params,
+        hasher)
     pow_witness = fri_proof_of_work(challenger, fri_params.config)
     query_rounds = fri_prover_query_rounds(
         initial_merkle_trees, trees, challenger, n, fri_params)

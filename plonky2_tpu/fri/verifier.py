@@ -9,6 +9,15 @@ import numpy as np
 from ..field import gl64, gl64ext
 from ..field.polynomial import barycentric_weights_np, interpolate_ext_np, eval_poly_ext_np
 from ..hash.merkle import MerkleCap, verify_merkle_proof_to_cap
+
+
+def _verify_to_cap(leaf_data, leaf_index, cap, proof) -> bool:
+    """Dispatch on digest type: Poseidon 4-felt caps or keccak byte caps."""
+    if np.asarray(cap.data).dtype == np.uint8:
+        from ..hash.keccak_tree import verify_bytes_merkle_proof_to_cap
+        return verify_bytes_merkle_proof_to_cap(leaf_data, leaf_index, cap,
+                                                proof)
+    return verify_merkle_proof_to_cap(leaf_data, leaf_index, cap, proof)
 from ..iop.challenger import Challenger
 from ..utils.bits import log2_strict, reverse_bits, reverse_index_bits
 from .config import FriConfig, FriParams
@@ -111,7 +120,7 @@ def _verify_query_round(instance, challenges, reduced_openings, initial_merkle_c
     # initial tree openings
     for (evals, mproof), cap in zip(round_proof.initial_trees_proof.evals_proofs,
                                     initial_merkle_caps):
-        assert verify_merkle_proof_to_cap(evals, x_index, cap, mproof), \
+        assert _verify_to_cap(evals, x_index, cap, mproof), \
             "initial Merkle proof failed"
 
     log_n = log2_strict(n)
@@ -132,7 +141,7 @@ def _verify_query_round(instance, challenges, reduced_openings, initial_merkle_c
             f"consistency check failed at round {i}"
         old_eval = compute_evaluation(subgroup_x, x_index_within_coset,
                                       arity_bits, evals, challenges.fri_betas[i])
-        assert verify_merkle_proof_to_cap(
+        assert _verify_to_cap(
             evals.reshape(-1), coset_index,
             proof.commit_phase_merkle_caps[i], round_proof.steps[i].merkle_proof), \
             f"commit-phase Merkle proof failed at round {i}"

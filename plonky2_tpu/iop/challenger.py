@@ -22,14 +22,38 @@ RATE = 8
 WIDTH = 12
 
 
+def permutation_for(hasher: str):
+    """The challenger duplex core of a hasher config (plonk/config.rs:28)."""
+    if hasher == "keccak":
+        from ..hash.keccak_tree import keccak_permutation_np
+        return keccak_permutation_np
+    return permute_np
+
+
 class Challenger:
-    def __init__(self):
+    def __init__(self, permutation=None):
+        # permutation: the duplex core — Poseidon by default, or the keccak
+        # hash-onion of KeccakGoldilocksConfig (hash/keccak_tree.py,
+        # reference keccak.rs:64).  Same overwrite-mode schedule either way.
         self.state = np.zeros(WIDTH, dtype=np.uint64)
         self.input_buffer: list[int] = []
         self.output_buffer: list[int] = []
+        self._permute = permutation or permute_np
+        # transcript trace: set to [] to record ("observe"|"squeeze", count)
+        # runs — tests/test_transcript.py checks the sequence against the
+        # reference order table (plonk/get_challenges.rs:26-92)
+        self.trace: list | None = None
+
+    def _traced(self, op: str) -> None:
+        if self.trace is not None:
+            if self.trace and self.trace[-1][0] == op:
+                self.trace[-1] = (op, self.trace[-1][1] + 1)
+            else:
+                self.trace.append((op, 1))
 
     # -- observe -----------------------------------------------------------
     def observe_element(self, x) -> None:
+        self._traced("observe")
         self.output_buffer.clear()
         self.input_buffer.append(int(gl64.to_canonical(np.uint64(int(x) % gl64.ORDER_INT))))
         if len(self.input_buffer) == RATE:
@@ -44,15 +68,26 @@ class Challenger:
         self.observe_elements(np.asarray(x, dtype=np.uint64))
 
     def observe_hash(self, h) -> None:
-        self.observe_elements(np.asarray(h, dtype=np.uint64).reshape(4))
+        h = np.asarray(h)
+        if h.dtype == np.uint8:
+            # byte digest (BytesHash::to_vec, hash_types.rs:181)
+            from ..hash.keccak_tree import bytes_hash_to_felts
+            self.observe_elements(bytes_hash_to_felts(h).reshape(-1))
+        else:
+            self.observe_elements(h.astype(np.uint64).reshape(4))
 
     def observe_cap(self, cap) -> None:
-        data = cap.data if hasattr(cap, "data") else np.asarray(cap, dtype=np.uint64)
-        for row in data.reshape(-1, 4):
+        data = cap.data if hasattr(cap, "data") else np.asarray(cap)
+        if np.asarray(data).dtype == np.uint8:
+            for row in data:
+                self.observe_hash(row)
+            return
+        for row in np.asarray(data, dtype=np.uint64).reshape(-1, 4):
             self.observe_hash(row)
 
     # -- squeeze -----------------------------------------------------------
     def get_challenge(self) -> np.uint64:
+        self._traced("squeeze")
         if self.input_buffer or not self.output_buffer:
             self._duplexing()
         return np.uint64(self.output_buffer.pop())
@@ -92,7 +127,7 @@ class Challenger:
             self.state = self.state.copy()
             self.state[:k] = np.array(self.input_buffer, dtype=np.uint64)
             self.input_buffer.clear()
-        self.state = permute_np(self.state)
+        self.state = self._permute(self.state)
         self.output_buffer = [int(x) for x in gl64.to_canonical(self.state[:RATE])]
 
 

@@ -9,6 +9,7 @@ from ..field import gl64
 from ..plonk.builder import CircuitBuilder
 from ..plonk.config import CircuitConfig
 from ..plonk.gates.base import GeneratorSpec
+from ..plonk.generators import register_custom
 from ..plonk.witness import PartialWitness
 
 P = gl64.ORDER_INT
@@ -61,19 +62,26 @@ def square_root_circuit(config: CircuitConfig | None = None):
     x = b.add_virtual_target()
     sqrt = b.add_virtual_target()
 
+    b.add_simple_generator(GeneratorSpec(
+        kind="custom", deps=[x], outs=[sqrt],
+        fn=_make_sqrt_generator((), None), name="square_root"))
+    square = b.mul(sqrt, sqrt)
+    b.connect(square, x)
+    b.register_public_input(x)
+    return b.build(), x
+
+
+@register_custom("square_root")
+def _make_sqrt_generator(params, luts):
+    """The user-registered custom generator of the square-root example
+    (examples/square_root.rs:29 SquareRootGenerator + its serializer)."""
     def compute_sqrt(dep_vals: np.ndarray) -> list:
         v = int(gl64.to_canonical(np.uint64(dep_vals[0])))
         # Tonelli-Shanks via the field's 2-adic structure (p-1 = 2^32 * m)
         r = _sqrt_mod_p(v)
         assert r is not None, f"{v} is not a quadratic residue"
         return [r]
-
-    b.add_simple_generator(GeneratorSpec(
-        kind="custom", deps=[x], outs=[sqrt], fn=compute_sqrt))
-    square = b.mul(sqrt, sqrt)
-    b.connect(square, x)
-    b.register_public_input(x)
-    return b.build(), x
+    return compute_sqrt
 
 
 def _sqrt_mod_p(v: int) -> int | None:

@@ -58,19 +58,23 @@ def dp_lde_and_leaf_hash(polys: GF, rate_bits: int, shift: int, mesh: Mesh,
     """Data-parallel LDE + per-shard Merkle leaf hashing.
 
     polys: (num_polys, n) sharded over num_polys.  Each device LDEs its
-    columns locally; leaf hashing needs whole rows, so the LDE matrix is
-    all-gathered over the poly axis (column counts are tiny next to n).
-    Returns leaf digests (8n, 4), replicated.
+    columns locally; leaf hashing needs whole rows, so one all_to_all
+    transpose re-shards by rows (per-device memory stays full/nd — an
+    all_gather of the LDE matrix would replicate it everywhere).
+    Returns leaf digests (8n, 4), row-sharded over the mesh.
     """
     nd = mesh.devices.size
 
     @partial(shard_map, mesh=mesh, in_specs=(PSpec(axis, None),),
-             out_specs=PSpec(None, None))
+             out_specs=PSpec(axis, None))
     def step(blk: GF) -> GF:
         values = ntt.lde(blk, rate_bits, shift=shift)  # (k/nd, 8n) local
-        full = GF(jax.lax.all_gather(values.lo, axis, axis=0, tiled=True),
-                  jax.lax.all_gather(values.hi, axis, axis=0, tiled=True))
-        return hash_or_noop(full.transpose(1, 0))
+        rows = GF(
+            jax.lax.all_to_all(values.lo, axis, split_axis=1, concat_axis=0,
+                               tiled=True),
+            jax.lax.all_to_all(values.hi, axis, split_axis=1, concat_axis=0,
+                               tiled=True))              # (k, 8n/nd)
+        return hash_or_noop(rows.transpose(1, 0))
 
     return step(polys)
 
@@ -95,13 +99,17 @@ def four_step_ntt(x: GF, mesh: Mesh, axis: str = "d") -> GF:
     # A[j1, j2] = x[j1 + N1 j2]
     a = x.reshape(n2, n1).transpose(1, 0)  # (n1, n2)
 
-    # twiddles tw[j1, k2] = w^(j1*k2): row i = row (i-1) * [w^k2]
+    # twiddles tw[j1, k2] = w^(j1*k2), built with log2(n1) vectorised
+    # doubling passes (tw[m:2m] = tw[:m] * tw[m]) — no per-row Python loop
     w = gl64.primitive_root_of_unity(log_n)
-    row = gl64.powers(w, n2)
-    tw = np.empty((n1, n2), dtype=np.uint64)
-    tw[0] = np.ones(n2, dtype=np.uint64)
-    for i in range(1, n1):
-        tw[i] = gl64.mul(tw[i - 1], row)
+    tw = np.ones((n1, n2), dtype=np.uint64)
+    row_m = gl64.powers(w, n2)  # tw[1]
+    m = 1
+    while m < n1:
+        cnt = min(m, n1 - m)
+        tw[m:m + cnt] = gl64.mul(tw[:cnt], row_m[None, :])
+        row_m = gl64.mul(row_m, row_m)
+        m *= 2
     tw_gf = GF.from_u64(tw)
 
     @partial(shard_map, mesh=mesh, in_specs=(PSpec(axis, None), PSpec(axis, None)),

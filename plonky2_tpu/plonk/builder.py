@@ -287,10 +287,6 @@ class CircuitBuilder(BuilderGadgets):
         for lut_index, lut in enumerate(self.luts):
             lookups = self.lut_to_lookups[lut_index]
             assert lookups, f"LUT {lut_index} is unused"
-            table_map = {}
-            for a, b in lut:
-                table_map.setdefault(a, b)
-
             last_lu_gate = self.num_gates()
             num_lu_slots = LookupGate.slots_from_config(self.config)
             for looking_in, looking_out in lookups:
@@ -301,7 +297,8 @@ class CircuitBuilder(BuilderGadgets):
                 self.connect(looking_out,
                              tg.wire(row, gate.wire_ith_looking_out(i)))
                 self.add_simple_generator(
-                    lookup_output_generator(row, i, looking_in, table_map))
+                    lookup_output_generator(row, i, looking_in, lut_index,
+                                            self.luts))
             # pad the final partially-filled row with the first LUT entry
             # (reference plonk/prover.rs:70-85 does this at proving time)
             pad_count = (num_lu_slots - len(lookups) % num_lu_slots) % num_lu_slots
@@ -345,7 +342,8 @@ class CircuitBuilder(BuilderGadgets):
                 mult_wires.append(
                     tg.wire(row, LookupTableGate.wire_ith_multiplicity(s)))
             self.add_simple_generator(multiplicity_generator(
-                [lin for lin, _ in lookups], list(lut), mult_wires, pad_count))
+                [lin for lin, _ in lookups], lut_index, self.luts, mult_wires,
+                pad_count))
 
             self.add_gate(NoopGate(), [])
             self.lookup_rows.append((last_lu_gate, last_lut_gate, first_lut_gate))
@@ -454,15 +452,29 @@ class CircuitBuilder(BuilderGadgets):
 
         constants_sigmas = np.concatenate([constant_vecs, sigma_vecs], axis=0)
         constants_sigmas_commitment = PolynomialBatch.from_values(
-            GF.from_u64(constants_sigmas), rate_bits, False, cap_height)
+            GF.from_u64(constants_sigmas), rate_bits, False, cap_height,
+            hasher=config.hasher)
 
         cap = constants_sigmas_commitment.merkle_tree.cap
         # circuit digest (circuit_builder.rs:1090): cap || H_pad("") || degree_bits
-        domain_sep_digest = _hash_pad_empty()
-        digest_input = np.concatenate([
-            cap.flatten(), domain_sep_digest,
-            np.array([degree_bits], dtype=np.uint64)])
-        circuit_digest = hash_no_pad_np(digest_input)
+        if config.hasher == "keccak":
+            from ..hash.keccak import hash_n_to_bytes
+            from ..hash.keccak_tree import bytes_hash_to_felts
+            pad_empty = np.zeros(12, dtype=np.uint64)
+            pad_empty[0] = 1
+            pad_empty[-1] = 1
+            sep = np.frombuffer(hash_n_to_bytes(pad_empty), dtype=np.uint8)
+            digest_input = np.concatenate([
+                cap.flatten(), bytes_hash_to_felts(sep).reshape(-1),
+                np.array([degree_bits], dtype=np.uint64)])
+            circuit_digest = np.frombuffer(hash_n_to_bytes(digest_input),
+                                           dtype=np.uint8)
+        else:
+            domain_sep_digest = _hash_pad_empty()
+            digest_input = np.concatenate([
+                cap.flatten(), domain_sep_digest,
+                np.array([degree_bits], dtype=np.uint64)])
+            circuit_digest = hash_no_pad_np(digest_input)
 
         num_gate_constraints = max(g.num_constraints() for g in gates)
         num_partial_products = -(-config.num_routed_wires // quotient_degree_factor) - 1

@@ -18,6 +18,11 @@ class CircuitConfig:
     zero_knowledge: bool = False
     max_quotient_degree_factor: int = 8
     fri_config: FriConfig = field(default_factory=standard_fri_config)
+    # transcript/commitment hasher (reference plonk/config.rs GenericConfig):
+    # "poseidon" (recursable) or "keccak" (cheap non-recursive proofs,
+    # KeccakGoldilocksConfig).  The inner hasher (public-input hash,
+    # in-circuit) is always Poseidon, as in the reference.
+    hasher: str = "poseidon"
 
     @staticmethod
     def standard_recursion_config() -> "CircuitConfig":
@@ -27,6 +32,12 @@ class CircuitConfig:
     @staticmethod
     def standard_recursion_zk_config() -> "CircuitConfig":
         return CircuitConfig(zero_knowledge=True)
+
+    @staticmethod
+    def standard_keccak_config() -> "CircuitConfig":
+        """KeccakGoldilocksConfig analogue (plonk/config.rs:166): byte-digest
+        commitments + keccak challenger for cheap non-recursive proofs."""
+        return CircuitConfig(hasher="keccak")
 
     @staticmethod
     def standard_ecc_config() -> "CircuitConfig":

@@ -120,13 +120,10 @@ class BuilderGadgets:
         (gadgets/arithmetic_extension.rs inverse_extension)."""
         inv = self.add_virtual_extension_target()
 
-        def compute_inv(dep_vals):
-            from ..field import gl64ext
-            return gl64ext.inv(dep_vals.reshape(2))
-
+        from .generators import build_custom_fn
         self.add_simple_generator(GeneratorSpec(
             kind="custom", deps=[a[0], a[1]], outs=[inv[0], inv[1]],
-            fn=compute_inv))
+            fn=build_custom_fn("inv_ext", (), None), name="inv_ext"))
         prod = self.mul_extension(a, inv)
         self.connect_extension(prod, self.one_extension())
         return inv
@@ -167,14 +164,10 @@ class BuilderGadgets:
         self.suppressed_gate_generators.add(row)
         sum_wire = tg.wire(row, gate.WIRE_SUM)
 
-        def compute_sum(dep_vals):
-            acc = 0
-            for v in reversed(dep_vals.tolist()):
-                acc = (acc * 2 + int(v)) % P
-            return [acc]
-
+        from .generators import build_custom_fn
         self.add_simple_generator(GeneratorSpec(
-            kind="custom", deps=list(bits), outs=[sum_wire], fn=compute_sum))
+            kind="custom", deps=list(bits), outs=[sum_wire],
+            fn=build_custom_fn("le_sum", (), None), name="le_sum"))
         return sum_wire
 
     def range_check(self, x: int, num_bits: int) -> None:
@@ -205,13 +198,11 @@ class BuilderGadgets:
         for i, item in enumerate(padded):
             self.connect(item, tg.wire(row, gate.wire_list_item(i, copy)))
 
-        def compute_claimed(dep_vals):
-            idx = int(dep_vals[0])
-            return [int(dep_vals[1 + idx])]
-
+        from .generators import build_custom_fn
         self.add_simple_generator(GeneratorSpec(
             kind="custom", deps=[access_index] + padded, outs=[claimed],
-            fn=compute_claimed))
+            fn=build_custom_fn("random_access_value", (), None),
+            name="random_access_value"))
         return claimed
 
     def random_access_extension(self, access_index: int, v: list) -> tuple:

@@ -79,6 +79,9 @@ class GeneratorSpec:
     outs: list
     params: tuple = ()
     fn: Callable | None = None
+    # registry name for kind="custom" (plonk/generators.py) — lets the
+    # schedule serializer rebuild `fn`; None means not checkpointable
+    name: str | None = None
 
 
 class Gate:

@@ -186,6 +186,17 @@ class CosetInterpolationGate(Gate):
         outs += [targets.wire(row, self.wires_evaluation_value() + j)
                  for j in range(D)]
 
+        return [GeneratorSpec(kind="custom", deps=deps, outs=outs,
+                              fn=self.make_interpolant_fn(),
+                              params=(self.subgroup_bits, self._degree),
+                              name="coset_interp")]
+
+    def make_interpolant_fn(self):
+        """Witness fn for the interpolant trace (reconstructible from
+        (subgroup_bits, degree) via plonk/generators.py)."""
+        gate = self
+        n_pts = self.num_points()
+
         def run(dep_vals: np.ndarray) -> list:
             shift = np.uint64(dep_vals[0])
             z = np.asarray(dep_vals[1:3], dtype=np.uint64)
@@ -209,4 +220,4 @@ class CosetInterpolationGate(Gate):
             out_vals += list(gl64.to_canonical(e))
             return out_vals
 
-        return [GeneratorSpec(kind="custom", deps=deps, outs=outs, fn=run)]
+        return run

@@ -122,33 +122,24 @@ class LookupTableGate(Gate):
 
 
 def lookup_output_generator(row: int, slot: int, looking_in: int,
-                            table_map: dict) -> GeneratorSpec:
+                            lut_index: int, luts: list) -> GeneratorSpec:
     """Probe generator: out_wire = LUT[in] (reference LookupGenerator)."""
+    from ..generators import build_custom_fn
     out_wire = targets.wire(row, LookupGate.wire_ith_looking_out(slot))
-
-    def probe(dep_vals: np.ndarray) -> list:
-        from ...field import gl64
-        return [table_map[int(gl64.to_canonical(np.uint64(dep_vals[0])))]]
-
     return GeneratorSpec(kind="custom", deps=[looking_in], outs=[out_wire],
-                         fn=probe)
+                         fn=build_custom_fn("lookup_output", (lut_index,), luts),
+                         params=(lut_index,), name="lookup_output")
 
 
-def multiplicity_generator(looking_inputs: list, lut_pairs: list,
+def multiplicity_generator(looking_inputs: list, lut_index: int, luts: list,
                            mult_wires: list, pad_count: int) -> GeneratorSpec:
     """One batched generator computing every multiplicity wire of a LUT.
 
-    `pad_count` extra probes of lut_pairs[0] account for the padding slots in
-    the final LookupGate row (reference plonk/prover.rs:70-85)."""
-    inputs_index = {int(inp): i for i, (inp, _) in enumerate(lut_pairs)}
-
-    def count(dep_vals: np.ndarray) -> list:
-        from ...field import gl64
-        mult = np.zeros(len(lut_pairs), dtype=np.uint64)
-        for v in gl64.to_canonical(np.asarray(dep_vals, dtype=np.uint64)):
-            mult[inputs_index[int(v)]] += 1
-        mult[0] += pad_count
-        return list(mult)
-
+    `pad_count` extra probes of the first LUT entry account for the padding
+    slots in the final LookupGate row (reference plonk/prover.rs:70-85)."""
+    from ..generators import build_custom_fn
     return GeneratorSpec(kind="custom", deps=list(looking_inputs),
-                         outs=list(mult_wires), fn=count)
+                         outs=list(mult_wires),
+                         fn=build_custom_fn("lookup_mult",
+                                            (lut_index, pad_count), luts),
+                         params=(lut_index, pad_count), name="lookup_mult")

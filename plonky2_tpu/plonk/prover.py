@@ -18,7 +18,7 @@ from ..field.extension import GF2
 from ..field.goldilocks import GF, batch_inv
 from ..field.polynomial import eval_polys_at_ext, powers_ext
 from ..fri.oracle import COSET_SHIFT, PolynomialBatch
-from ..iop.challenger import Challenger
+from ..iop.challenger import Challenger, permutation_for
 from ..hash.hashing import hash_no_pad_np
 from ..utils.bits import reverse_index_bits_perm
 from .circuit_data import CommonCircuitData, ProverOnlyCircuitData
@@ -51,11 +51,12 @@ def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
     # 2. wires commitment
     wires_values = GF.from_u64(wires_matrix)
     zk = config.zero_knowledge
+    hasher = config.hasher
     with timing.scope("compute wires commitment"):
         wires_commitment = PolynomialBatch.from_values(
-            wires_values, rate_bits, zk, cap_height)
+            wires_values, rate_bits, zk, cap_height, hasher=hasher)
 
-    challenger = Challenger()
+    challenger = Challenger(permutation_for(hasher))
     challenger.observe_hash(prover_data.circuit_digest)
     challenger.observe_hash(public_inputs_hash)
     challenger.observe_cap(wires_commitment.merkle_tree.cap)
@@ -83,7 +84,7 @@ def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
             [zs_partial_products, GF.from_u64(lookup_polys)], axis=0)
     with timing.scope("commit to partial products and Z's"):
         pp_commitment = PolynomialBatch.from_values(
-            zs_partial_products, rate_bits, zk, cap_height)
+            zs_partial_products, rate_bits, zk, cap_height, hasher=hasher)
     challenger.observe_cap(pp_commitment.merkle_tree.cap)
 
     alphas = challenger.get_n_challenges(num_challenges)
@@ -95,7 +96,7 @@ def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
             pp_commitment, betas, gammas, alphas, deltas)
     with timing.scope("commit to quotient polys"):
         quotient_commitment = PolynomialBatch.from_coeffs(
-            quotient_chunks, rate_bits, zk, cap_height)
+            quotient_chunks, rate_bits, zk, cap_height, hasher=hasher)
     challenger.observe_cap(quotient_commitment.merkle_tree.cap)
 
     # 5. openings at zeta, g*zeta

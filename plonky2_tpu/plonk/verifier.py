@@ -10,7 +10,7 @@ from ..field import gl64, gl64ext
 from ..field.gl64ext import E2
 from ..fri.verifier import fri_challenges, verify_fri_proof
 from ..hash.hashing import hash_no_pad_np
-from ..iop.challenger import Challenger
+from ..iop.challenger import Challenger, permutation_for
 from .circuit_data import CommonCircuitData, VerifierOnlyCircuitData
 from .gates.base import EvalVars, ExtCtx
 from .proof import ProofChallenges, ProofWithPublicInputs
@@ -25,7 +25,7 @@ def get_challenges(proof_with_pis: ProofWithPublicInputs,
                    common: CommonCircuitData) -> ProofChallenges:
     proof = proof_with_pis.proof
     nc = common.config.num_challenges
-    challenger = Challenger()
+    challenger = Challenger(permutation_for(common.config.hasher))
     challenger.observe_hash(circuit_digest)
     challenger.observe_hash(public_inputs_hash)
     challenger.observe_cap(proof.wires_cap)

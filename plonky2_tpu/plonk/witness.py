@@ -41,6 +41,7 @@ class _Group:
     out_reps: np.ndarray  # (g, o) int64
     params: np.ndarray | list  # kind-specific
     fns: list | None = None
+    names: list | None = None  # registry names (kind == "custom" only)
 
 
 class WitnessSchedule:
@@ -183,8 +184,10 @@ class WitnessSchedule:
             else:
                 params = [generators[gi].params for gi in gis]
             fns = [generators[gi].fn for gi in gis] if kind == "custom" else None
+            names = ([generators[gi].name for gi in gis]
+                     if kind == "custom" else None)
             groups_by_level.setdefault(glv, []).append(
-                _Group(kind, dep_mat, out_mat, params, fns))
+                _Group(kind, dep_mat, out_mat, params, fns, names))
         self.levels: list[list[_Group]] = [
             groups_by_level[lv] for lv in sorted(groups_by_level)]
 

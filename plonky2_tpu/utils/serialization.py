@@ -415,6 +415,7 @@ def common_data_to_bytes(common: CommonCircuitData) -> bytes:
               c.security_bits, c.num_challenges, c.max_quotient_degree_factor):
         buf.write_u32(v)
     buf.write_bool(c.zero_knowledge)
+    buf.write_str(c.hasher)
     write_fri_params(buf, common.fri_params)
     buf.write_usize(len(common.gates))
     for g in common.gates:
@@ -450,12 +451,14 @@ def common_data_from_bytes(data: bytes) -> CommonCircuitData:
     (num_wires, num_routed_wires, num_constants_cfg, security_bits,
      num_challenges, max_qdf) = (buf.read_u32() for _ in range(6))
     zero_knowledge = buf.read_bool()
+    hasher = buf.read_str()
     fri_params = read_fri_params(buf)
     config = CircuitConfig(
         num_wires=num_wires, num_routed_wires=num_routed_wires,
         num_constants=num_constants_cfg, security_bits=security_bits,
         num_challenges=num_challenges, zero_knowledge=zero_knowledge,
-        max_quotient_degree_factor=max_qdf, fri_config=fri_params.config)
+        max_quotient_degree_factor=max_qdf, fri_config=fri_params.config,
+        hasher=hasher)
     gates = [gate_from_id(buf.read_str()) for _ in range(buf.read_usize())]
     selector_indices = [buf.read_u32() for _ in range(buf.read_usize())]
     groups = [range(buf.read_u32(), buf.read_u32())
@@ -481,6 +484,245 @@ def common_data_from_bytes(data: bytes) -> CommonCircuitData:
         k_is=k_is, num_partial_products=num_partial_products,
         num_lookup_polys=num_lookup_polys,
         num_lookup_selectors=num_lookup_selectors, luts=luts)
+
+
+# -- prover data (full CircuitData checkpoint) --------------------------------
+#
+# Twin of the reference's write/read_circuit_data (mod.rs:790,1786): the
+# expensive build() artifacts — the leveled witness schedule (generators,
+# generator_serialization.rs:10 plays the registry role here via
+# plonk/generators.py names), the sigmas, and the constants+sigmas
+# PolynomialBatch with its full Merkle tree — round-trip so proving can
+# resume from a checkpoint without rebuilding.
+
+def _write_i64s(buf: Buffer, arr) -> None:
+    arr = np.asarray(arr, dtype=np.int64)
+    buf.write_usize(arr.ndim)
+    for d in arr.shape:
+        buf.write_usize(d)
+    buf.data += arr.astype("<i8").tobytes()
+
+
+def _read_i64s(buf: Buffer) -> np.ndarray:
+    ndim = buf.read_usize()
+    shape = tuple(buf.read_usize() for _ in range(ndim))
+    n = int(np.prod(shape)) if shape else 1
+    return np.frombuffer(buf._take(8 * n), dtype="<i8").astype(
+        np.int64).reshape(shape)
+
+
+def _write_u64s(buf: Buffer, arr) -> None:
+    arr = np.asarray(arr, dtype=np.uint64)
+    buf.write_usize(arr.ndim)
+    for d in arr.shape:
+        buf.write_usize(d)
+    buf.data += arr.astype("<u8").tobytes()
+
+
+def _read_u64s(buf: Buffer) -> np.ndarray:
+    ndim = buf.read_usize()
+    shape = tuple(buf.read_usize() for _ in range(ndim))
+    n = int(np.prod(shape)) if shape else 1
+    return np.frombuffer(buf._take(8 * n), dtype="<u8").astype(
+        np.uint64).reshape(shape)
+
+
+def _write_literal(buf: Buffer, obj) -> None:
+    """Plain-data params (ints / tuples / lists): repr + literal_eval."""
+    buf.write_str(repr(obj))
+
+
+def _read_literal(buf: Buffer):
+    import ast
+    return ast.literal_eval(buf.read_str())
+
+
+def write_schedule(buf: Buffer, sched) -> None:
+    from ..plonk.witness import WitnessSchedule, _Group
+    buf.write_usize(sched.num_rows)
+    buf.write_usize(sched.num_wires)
+    buf.write_usize(sched.num_virtual)
+    buf.write_bool(sched.rng_seed is not None)
+    if sched.rng_seed is not None:
+        buf.write_usize(sched.rng_seed)
+    _write_i64s(buf, sched.parents)
+    buf.write_usize(len(sched.levels))
+    for groups in sched.levels:
+        buf.write_usize(len(groups))
+        for g in groups:
+            buf.write_str(g.kind)
+            _write_i64s(buf, g.dep_reps)
+            _write_i64s(buf, g.out_reps)
+            if isinstance(g.params, np.ndarray):
+                buf.write_u8(0)
+                _write_u64s(buf, g.params)
+            else:
+                buf.write_u8(1)
+                _write_literal(buf, g.params)
+            if g.kind == "custom":
+                for name in g.names:
+                    if name is None:
+                        raise ValueError(
+                            "cannot checkpoint a custom generator without a "
+                            "registry name (plonk/generators.py)")
+                    buf.write_str(name)
+    # residual (dependency-cycle) generators
+    buf.write_usize(len(sched._residual_specs))
+    for spec, dreps, oreps in sched._residual_specs:
+        buf.write_str(spec.kind)
+        buf.write_str(spec.name or "")
+        _write_literal(buf, spec.params)
+        _write_i64s(buf, np.asarray(dreps, np.int64))
+        _write_i64s(buf, np.asarray(oreps, np.int64))
+    _write_i64s(buf, np.asarray(sorted(sched._residual_out_reps), np.int64))
+
+
+def read_schedule(buf: Buffer, luts: list):
+    from ..plonk.gates.base import GeneratorSpec
+    from ..plonk.generators import build_custom_fn
+    from ..plonk.witness import WitnessSchedule, _Group
+    sched = object.__new__(WitnessSchedule)
+    sched.num_rows = buf.read_usize()
+    sched.num_wires = buf.read_usize()
+    sched.num_virtual = buf.read_usize()
+    sched.total = sched.num_rows * sched.num_wires + sched.num_virtual
+    sched.rng_seed = buf.read_usize() if buf.read_bool() else None
+    sched.parents = _read_i64s(buf)
+
+    from ..plonk import targets as tg
+
+    def dense(t: int) -> int:
+        if tg.is_wire(t):
+            return tg.wire_row(t) * sched.num_wires + tg.wire_column(t)
+        return sched.num_rows * sched.num_wires + tg.virtual_index(t)
+
+    sched._dense = dense
+    levels = []
+    for _ in range(buf.read_usize()):
+        groups = []
+        for _ in range(buf.read_usize()):
+            kind = buf.read_str()
+            dep_reps = _read_i64s(buf)
+            out_reps = _read_i64s(buf)
+            params = _read_u64s(buf) if buf.read_u8() == 0 else \
+                _read_literal(buf)
+            fns = names = None
+            if kind == "custom":
+                names = [buf.read_str() for _ in range(len(out_reps))]
+                fns = [build_custom_fn(nm, tuple(params[i]), luts)
+                       for i, nm in enumerate(names)]
+            groups.append(_Group(kind, dep_reps, out_reps, params, fns,
+                                 names))
+        levels.append(groups)
+    sched.levels = levels
+    residual = []
+    for _ in range(buf.read_usize()):
+        kind = buf.read_str()
+        name = buf.read_str() or None
+        params = tuple(_read_literal(buf))
+        dreps = [int(x) for x in _read_i64s(buf)]
+        oreps = [int(x) for x in _read_i64s(buf)]
+        fn = build_custom_fn(name, params, luts) if kind == "custom" else None
+        residual.append((GeneratorSpec(kind, [], [], params, fn, name),
+                         dreps, oreps))
+    sched._residual_specs = residual
+    sched.residual = list(range(len(residual)))
+    sched._residual_out_reps = {int(x) for x in _read_i64s(buf)}
+    return sched
+
+
+def write_merkle_tree(buf: Buffer, tree) -> None:
+    buf.write_usize(tree.cap_height)
+    buf.write_usize(tree.leaf_len)
+    _write_u64s(buf, np.asarray(tree.leaves_np, np.uint64))
+    buf.write_usize(len(tree.levels))
+    for lvl in tree.levels:
+        _write_u64s(buf, lvl)
+
+
+def read_merkle_tree(buf: Buffer):
+    from ..hash.merkle import MerkleCap, MerkleTree
+    tree = object.__new__(MerkleTree)
+    tree.cap_height = buf.read_usize()
+    tree.leaf_len = buf.read_usize()
+    tree.leaves_np = _read_u64s(buf)
+    tree.levels = [_read_u64s(buf) for _ in range(buf.read_usize())]
+    tree.cap = MerkleCap(tree.levels[-1])
+    return tree
+
+
+def write_polynomial_batch(buf: Buffer, batch) -> None:
+    from ..field.goldilocks import GF
+    buf.write_usize(batch.degree_log)
+    buf.write_usize(batch.rate_bits)
+    buf.write_bool(batch.blinding)
+    _write_u64s(buf, np.asarray(batch.polynomials.to_u64(), np.uint64))
+    write_merkle_tree(buf, batch.merkle_tree)
+
+
+def read_polynomial_batch(buf: Buffer):
+    from ..field.goldilocks import GF
+    from ..fri.oracle import PolynomialBatch
+    degree_log = buf.read_usize()
+    rate_bits = buf.read_usize()
+    blinding = buf.read_bool()
+    polys = GF.from_u64(_read_u64s(buf))
+    tree = read_merkle_tree(buf)
+    return PolynomialBatch(polys, tree, degree_log, rate_bits, blinding)
+
+
+def prover_data_to_bytes(prover_only) -> bytes:
+    buf = Buffer()
+    write_schedule(buf, prover_only.schedule)
+    write_polynomial_batch(buf, prover_only.constants_sigmas_commitment)
+    _write_u64s(buf, np.asarray(prover_only.sigmas, np.uint64))
+    _write_u64s(buf, np.asarray(prover_only.subgroup, np.uint64))
+    _write_i64s(buf, np.asarray(prover_only.public_inputs, np.int64))
+    buf.write_hash(prover_only.circuit_digest)
+    rows = prover_only.lookup_rows or []
+    buf.write_usize(len(rows))
+    for a, b, c in rows:
+        buf.write_usize(a)
+        buf.write_usize(b)
+        buf.write_usize(c)
+    return buf.bytes()
+
+
+def prover_data_from_bytes(data: bytes, common: CommonCircuitData):
+    from ..plonk.circuit_data import ProverOnlyCircuitData
+    buf = Buffer(data)
+    schedule = read_schedule(buf, list(common.luts))
+    commitment = read_polynomial_batch(buf)
+    sigmas = _read_u64s(buf)
+    subgroup = _read_u64s(buf)
+    public_inputs = [int(t) for t in _read_i64s(buf)]
+    circuit_digest = buf.read_hash()
+    lookup_rows = [(buf.read_usize(), buf.read_usize(), buf.read_usize())
+                   for _ in range(buf.read_usize())]
+    return ProverOnlyCircuitData(
+        schedule=schedule, constants_sigmas_commitment=commitment,
+        sigmas=sigmas, subgroup=subgroup, public_inputs=public_inputs,
+        circuit_digest=circuit_digest, lookup_rows=lookup_rows)
+
+
+def circuit_data_to_bytes(data) -> bytes:
+    """Full CircuitData (common + verifier + prover) checkpoint."""
+    buf = Buffer()
+    for blob in (common_data_to_bytes(data.common),
+                 verifier_data_to_bytes(data.verifier_only),
+                 prover_data_to_bytes(data.prover_only)):
+        buf.write_usize(len(blob))
+        buf.data += blob
+    return buf.bytes()
+
+
+def circuit_data_from_bytes(data: bytes):
+    from ..plonk.circuit_data import CircuitData
+    buf = Buffer(data)
+    common = common_data_from_bytes(buf._take(buf.read_usize()))
+    verifier_only = verifier_data_from_bytes(buf._take(buf.read_usize()))
+    prover_only = prover_data_from_bytes(buf._take(buf.read_usize()), common)
+    return CircuitData(prover_only, verifier_only, common)
 
 
 def verifier_data_to_bytes(vd: VerifierOnlyCircuitData) -> bytes:
