@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import native
 from ..field import gl64
 from .keccak import HASH_SIZE, keccak_f
 
@@ -26,7 +27,10 @@ _RATE_LANES = 17
 def _absorb_blocks(byte_rows: np.ndarray) -> np.ndarray:
     """keccak256 of each row of a (n, L) uint8 matrix -> (n, 32) uint8.
     Pre-NIST padding (0x01 … 0x80), all rows same length => one batched
-    keccak-f per block."""
+    keccak-f per block.  Dispatches to the C++ backend (native/keccak.cpp)
+    when built; the numpy path below is the fallback + cross-check."""
+    if native.available():
+        return native.keccak256_rows(np.ascontiguousarray(byte_rows))
     n, length = byte_rows.shape
     blocks = length // _RATE_BYTES + 1
     padded = np.zeros((n, blocks * _RATE_BYTES), dtype=np.uint8)

@@ -130,9 +130,16 @@ def fri_instance_ctl(stark: Stark, zeta: np.ndarray, g: int,
 
 def prove_multi_table(starks: list, ctls: list, config: StarkConfig,
                       trace_poly_values: list, public_inputs: list = None,
-                      timing: TimingTree = None) -> MultiProof:
+                      timing: TimingTree = None,
+                      mesh_groups: list = None) -> MultiProof:
     """(evm/src/prover.rs:94 prove_with_traces) trace_poly_values: per
-    table an (COLUMNS, n) u64 array of subgroup evaluations."""
+    table an (COLUMNS, n) u64 array of subgroup evaluations.
+
+    mesh_groups: optionally a list of device sub-meshes
+    (parallel.groups.device_groups) — trace commitments then run
+    expert-parallel, table t on group t % len(groups), concurrently
+    across the pod and bit-identical to the single-chip path.
+    """
     timing = timing or TimingTree()
     num_tables = len(starks)
     if public_inputs is None:
@@ -141,10 +148,15 @@ def prove_multi_table(starks: list, ctls: list, config: StarkConfig,
     cap_height = config.fri_config.cap_height
 
     with timing.scope("compute all trace commitments"):
-        trace_commitments = [
-            PolynomialBatch.from_values(GF.from_u64(t), rate_bits, False,
-                                        cap_height)
-            for t in trace_poly_values]
+        if mesh_groups:
+            from ..parallel.groups import grouped_trace_commitments
+            trace_commitments = grouped_trace_commitments(
+                trace_poly_values, rate_bits, cap_height, mesh_groups)
+        else:
+            trace_commitments = [
+                PolynomialBatch.from_values(GF.from_u64(t), rate_bits, False,
+                                            cap_height)
+                for t in trace_poly_values]
 
     challenger = Challenger()
     for c in trace_commitments:

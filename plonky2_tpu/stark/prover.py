@@ -24,8 +24,14 @@ P = gl64.ORDER_INT
 
 
 def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
-          public_inputs: np.ndarray, timing=None) -> StarkProofWithPublicInputs:
-    """trace_poly_values: (COLUMNS, degree) evaluations over the subgroup."""
+          public_inputs: np.ndarray, timing=None,
+          trace_commitment=None) -> StarkProofWithPublicInputs:
+    """trace_poly_values: (COLUMNS, degree) evaluations over the subgroup.
+
+    trace_commitment: optionally a precomputed PolynomialBatch of the
+    trace (e.g. from a pipelined device group, parallel/groups.py) —
+    must equal `from_values(trace_poly_values, ...)`.
+    """
     degree = trace_poly_values.shape[-1]
     degree_bits = log2_strict(degree)
     fri_params = config.fri_params(degree_bits)
@@ -33,8 +39,9 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
     cap_height = config.fri_config.cap_height
     assert fri_params.total_arities() <= degree_bits + rate_bits - cap_height
 
-    trace_commitment = PolynomialBatch.from_values(
-        trace_poly_values, rate_bits, False, cap_height)
+    if trace_commitment is None:
+        trace_commitment = PolynomialBatch.from_values(
+            trace_poly_values, rate_bits, False, cap_height)
     challenger = Challenger()
     challenger.observe_cap(trace_commitment.merkle_tree.cap)
 
