@@ -33,6 +33,25 @@ SALT_SIZE = 4
 COSET_SHIFT = gl64.MULTIPLICATIVE_GROUP_GENERATOR  # F::coset_shift() = 7
 
 
+def _use_mxu_lde(n: int, rate_bits: int) -> bool:
+    """Select the commitment LDE implementation.
+
+    PLONKY2_TPU_LDE_IMPL: "radix" (default) | "mxu" | "auto".  The fused
+    MXU kernel (ops/mxu_lde_pallas.py) needs a TPU backend and shapes
+    where an exact-f32 step-2 size divides n (n2 <= 512, 128 | n2);
+    "auto" turns it on whenever those hold.
+    """
+    impl = os.environ.get("PLONKY2_TPU_LDE_IMPL", "radix")
+    if impl == "radix":
+        return False
+    import jax
+    if jax.default_backend() == "cpu":
+        return False
+    if n < 4096 or n % 128:
+        return False
+    return impl in ("mxu", "auto")
+
+
 class PolynomialBatch:
     """A batch of committed polynomials (coefficients on device + Merkle tree)."""
 
@@ -60,7 +79,25 @@ class PolynomialBatch:
                     cap_height: int, timing=None,
                     hasher: str = "poseidon") -> "PolynomialBatch":
         n = polynomials.shape[-1]
-        lde_values = ntt.lde(polynomials, rate_bits, shift=COSET_SHIFT)
+        leaves_pre = None
+        if _use_mxu_lde(n, rate_bits):
+            # fused MXU four-step kernel (ops/mxu_lde_pallas.py): output in
+            # (t1, t2) layout; one gather recovers natural order and —
+            # when no salt columns intervene — a composed gather produces
+            # the bit-reversed Merkle leaf order directly.
+            from ..ops import mxu_lde_pallas as _mxu
+            log_n = log2_strict(n)
+            n2 = _mxu.pick_n2(log_n, rate_bits)
+            mem = _mxu.mxu_lde(polynomials, rate_bits, COSET_SHIFT, n2)
+            mem = mem.reshape(polynomials.shape[0], n << rate_bits)
+            lde_values = mem.take(
+                _mxu.natural_perm_from_mem(log_n, rate_bits, n2), axis=-1)
+            if not blinding:
+                leaves_pre = mem.take(
+                    _mxu.leaf_perm_from_mem(log_n, rate_bits, n2),
+                    axis=-1).transpose(1, 0)
+        else:
+            lde_values = ntt.lde(polynomials, rate_bits, shift=COSET_SHIFT)
         leaf_cols = lde_values
         if blinding:
             # SALT_SIZE random columns so leaf openings reveal nothing about
@@ -76,9 +113,12 @@ class PolynomialBatch:
             leaf_cols = GF.concatenate([lde_values, salt], axis=0)
         # rows of the evaluation matrix become Merkle leaves, in bit-reversed
         # order (reference fri/oracle.rs:81-100)
-        leaves = leaf_cols.transpose(1, 0)
-        perm = reverse_index_bits_perm(leaves.shape[0])
-        leaves = leaves.take(perm, axis=0)
+        if leaves_pre is not None:
+            leaves = leaves_pre
+        else:
+            leaves = leaf_cols.transpose(1, 0)
+            perm = reverse_index_bits_perm(leaves.shape[0])
+            leaves = leaves.take(perm, axis=0)
         if hasher == "keccak":
             from ..hash.keccak_tree import BytesMerkleTree
             tree = BytesMerkleTree(leaves, cap_height)
