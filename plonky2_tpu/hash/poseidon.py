@@ -103,15 +103,52 @@ def _partial_round(r, state: GF, rc: GF) -> GF:
     return _mds(state)
 
 
+def _pallas_batch_threshold() -> int:
+    """Batch size from which permute dispatches to the fused column kernel.
+
+    PLONKY2_TPU_POSEIDON_IMPL: "auto" (default: Pallas kernel on TPU for
+    large batches), "jnp" (always the (..., 12) XLA path), "pallas"
+    (kernel for any multiple-of-128 batch).  The (..., 12) layout uses 12
+    of 128 VPU lanes; the kernel's (12, B) planar layout fills them.
+    """
+    import os
+    impl = os.environ.get("PLONKY2_TPU_POSEIDON_IMPL", "auto")
+    if impl == "jnp":
+        return 1 << 62
+    import jax as _jax
+    if _jax.default_backend() == "cpu":
+        return 1 << 62
+    return 128 if impl == "pallas" else 1024
+
+
+def _permute_via_cols(state: GF) -> GF:
+    """(..., 12) -> column kernel roundtrip: transpose to (12, B) planar
+    limbs, run the fused Pallas kernel, transpose back."""
+    from ..ops.poseidon_pallas import permute_cols
+    batch = state.shape[:-1]
+    b = int(np.prod(batch)) if batch else 1
+    tile = 1024 if b % 1024 == 0 else 128
+    lo = state.lo.reshape(b, 12).T
+    hi = state.hi.reshape(b, 12).T
+    olo, ohi = permute_cols(lo, hi, tile)
+    return GF(olo.T.reshape(*batch, 12), ohi.T.reshape(*batch, 12))
+
+
 @jax.jit
 def permute(state: GF) -> GF:
     """Full 30-round Poseidon permutation on a (..., 12) GF state.
 
-    Rounds run under lax.fori_loop (round constants dynamically indexed) to
-    keep the traced graph ~30x smaller than full unrolling — compile time
-    matters because every distinct batch shape compiles once.
+    Large batches on TPU dispatch to the fused Pallas column kernel
+    (ops/poseidon_pallas.py); otherwise rounds run under lax.fori_loop
+    (round constants dynamically indexed) to keep the traced graph ~30x
+    smaller than full unrolling — compile time matters because every
+    distinct batch shape compiles once.
     """
     assert state.shape[-1] == 12
+    batch = state.shape[:-1]
+    b = int(np.prod(batch)) if batch else 1
+    if b % 128 == 0 and b >= _pallas_batch_threshold():
+        return _permute_via_cols(state)
     rc = _round_consts()
     state = jax.lax.fori_loop(
         0, C.HALF_N_FULL_ROUNDS, lambda r, s: _full_round(r, s, rc), state)

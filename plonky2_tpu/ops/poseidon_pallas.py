@@ -1,16 +1,25 @@
 """Fused Pallas kernel for the width-12 Poseidon permutation over Goldilocks.
 
-One kernel runs all 30 rounds in VMEM — the jnp path (hash/poseidon.py)
-round-trips HBM at every lax.fori_loop iteration boundary unless XLA fuses
-perfectly; here the whole permutation is a single VMEM-resident unroll, the
-TPU analogue of the reference's AVX2/NEON Poseidon kernels
+One kernel runs all 30 rounds in VMEM — the TPU analogue of the
+reference's AVX2/NEON Poseidon kernels
 (plonky2/src/hash/arch/x86_64/poseidon_goldilocks_avx2_bmi2.rs:164,
 aarch64/poseidon_goldilocks_neon.rs).
 
-Layout: states are (12, B) planar u32 limb arrays — batch rides the 128-lane
-axis, the 12 state rows ride sublanes, so every field op is an (8+, 128)
-VPU tile op.  Round constants are baked into the kernel as (12, 1) column
-immediates that broadcast across lanes.
+Layout: states are (12, B) planar u32 limb arrays — batch rides the
+128-lane axis, the 12 state rows ride sublanes, so every field op is an
+(8+, 128) VPU tile op.  Three kernel-level optimizations over the naive
+round loop:
+
+- rounds fully unrolled with round-constant columns baked as immediates
+  (no fori_loop carry, no dynamic slices — Mosaic can pipeline across
+  round boundaries);
+- the partial-round S-box touches only state row 0: computing x^7 on a
+  (1, B) slice wastes 7/8 sublanes of every VPU op, so the row is
+  reshaped to (8, B/8) for the four field muls and reshaped back;
+- the MDS layer is selectable: "roll" (12 sublane rotations, 96-bit
+  accumulate) or "mxu" (8 byte-plane bf16 dots against the constant
+  12x12 MDS matrix — entries <= 49, single digit — with shift-add
+  recombination; |plane dot| <= 12*49*255 < 2^18 is exact in f32).
 """
 
 from __future__ import annotations
@@ -28,9 +37,16 @@ from ..hash import poseidon_constants as C
 
 WIDTH = 12
 _RC = np.array(C.ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(30, WIDTH)
-# transposed (12, 30): column r broadcasts over the lane axis in-kernel
-_RC_LO_T = np.ascontiguousarray((_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32).T)
-_RC_HI_T = np.ascontiguousarray((_RC >> np.uint64(32)).astype(np.uint32).T)
+_RC_LO = (_RC & np.uint64(0xFFFFFFFF)).astype(np.uint32)   # (30, 12)
+_RC_HI = (_RC >> np.uint64(32)).astype(np.uint32)
+
+# MDS[r][c] = CIRC[(c - r) mod 12] + (r == c) * DIAG[r]  (poseidon.rs:178)
+_MDS = np.zeros((WIDTH, WIDTH), dtype=np.int64)
+for _r in range(WIDTH):
+    for _c in range(WIDTH):
+        _MDS[_r, _c] = C.MDS_MATRIX_CIRC[(_c - _r) % WIDTH]
+    _MDS[_r, _r] += C.MDS_MATRIX_DIAG[_r]
+_MDS_BF16 = _MDS.astype(np.float32)
 
 # default batch tile (lanes); 12 x 1024 x 4B x 2 limbs ~= 96 KiB of VMEM
 TILE_B = 1024
@@ -72,7 +88,7 @@ def _sbox(lo, hi):
     return _fmul(l3, h3, l4, h4)
 
 
-def _mds(lo, hi):
+def _mds_roll(lo, hi):
     """96-bit exact accumulate over the circulant rows, one reduce at the end.
     lo/hi: (12, B)."""
     acc0 = jnp.zeros_like(lo)
@@ -107,55 +123,98 @@ def _mds(lo, hi):
     return reduce128(ZERO32, acc2, acc1, acc0)
 
 
-def _rounds(lo, hi, rc_lo, rc_hi):
-    """All 30 rounds on (12, B) limb arrays; rc_*: (12, 30).  Plain jnp —
-    runs inside the Pallas kernel on TPU and standalone for CPU testing.
-    Rounds run under lax.fori_loop (round constants dynamically sliced) to
-    keep the traced graph ~30x smaller; rounds are serial anyway."""
+def _mds_mxu(lo, hi):
+    """MDS as 8 byte-plane MXU dots: x = sum_e d_e*2^(8e) (unsigned bytes,
+    exact for any u64 input), so M @ x = sum_e 2^(8e) * (M @ d_e).  Plane
+    dots are exact in f32 (<= 12*49*255 < 2^18); shift-add into a 96-bit
+    accumulator, one reduce at the end."""
+    m = jnp.asarray(_MDS_BF16, jnp.bfloat16)
+    acc0 = jnp.zeros_like(lo)
+    acc1 = jnp.zeros_like(lo)
+    acc2 = jnp.zeros_like(lo)
+    for e in range(8):
+        src = lo if e < 4 else hi
+        plane = ((src >> jnp.uint32(8 * (e % 4))) & jnp.uint32(255)) \
+            .astype(jnp.int32).astype(jnp.bfloat16)
+        pe = jax.lax.dot_general(m, plane, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        pe = pe.astype(jnp.int32).astype(jnp.uint32)          # < 2^18
+        bit = 8 * (e % 4)
+        word_lo = pe << jnp.uint32(bit) if bit else pe
+        word_hi = pe >> jnp.uint32(32 - bit) if bit else jnp.zeros_like(pe)
+        if e < 4:
+            a0 = acc0 + word_lo
+            c0 = _u32(a0 < word_lo)
+            a1 = acc1 + word_hi + c0
+            c1 = _u32(a1 < acc1)            # word_hi + c0 < 2^32: no double carry
+            acc0, acc1, acc2 = a0, a1, acc2 + c1
+        else:
+            a1 = acc1 + word_lo
+            c1 = _u32(a1 < word_lo)
+            acc1, acc2 = a1, acc2 + word_hi + c1
+    return reduce128(ZERO32, acc2, acc1, acc0)
+
+
+def _packed_sbox_row0(lo, hi):
+    """x^7 on state row 0 packed to (8, B/8) so all sublanes work."""
+    b = lo.shape[1]
+    if b % 8:
+        s0lo, s0hi = _sbox(lo[0:1, :], hi[0:1, :])
+        return s0lo, s0hi
+    plo = lo[0:1, :].reshape(8, b // 8)
+    phi = hi[0:1, :].reshape(8, b // 8)
+    slo, shi = _sbox(plo, phi)
+    return slo.reshape(1, b), shi.reshape(1, b)
+
+
+def _rounds(lo, hi, mds_mode: str = "roll"):
+    """All 30 rounds on (12, B) limb arrays, fully unrolled with the round
+    constants baked as (12, 1) immediates.  Plain jnp — runs inside the
+    Pallas kernel on TPU and standalone for CPU testing."""
+    mds = _mds_mxu if mds_mode == "mxu" else _mds_roll
+    hf, npart = C.HALF_N_FULL_ROUNDS, C.N_PARTIAL_ROUNDS
+
     def add_rc(lo, hi, r):
-        rl = jax.lax.dynamic_slice(rc_lo, (0, r), (WIDTH, 1))
-        rh = jax.lax.dynamic_slice(rc_hi, (0, r), (WIDTH, 1))
+        rl = jnp.asarray(_RC_LO[r][:, None])
+        rh = jnp.asarray(_RC_HI[r][:, None])
         return _fadd(lo, hi, jnp.broadcast_to(rl, lo.shape),
                      jnp.broadcast_to(rh, hi.shape))
 
-    def full_round(r, carry):
-        lo, hi = carry
+    for r in range(hf):
         lo, hi = add_rc(lo, hi, r)
         lo, hi = _sbox(lo, hi)
-        return _mds(lo, hi)
-
-    def partial_round(r, carry):
-        lo, hi = carry
+        lo, hi = mds(lo, hi)
+    for r in range(hf, hf + npart):
         lo, hi = add_rc(lo, hi, r)
-        s0lo, s0hi = _sbox(lo[0:1, :], hi[0:1, :])
+        s0lo, s0hi = _packed_sbox_row0(lo, hi)
         lo = jnp.concatenate([s0lo, lo[1:, :]], axis=0)
         hi = jnp.concatenate([s0hi, hi[1:, :]], axis=0)
-        return _mds(lo, hi)
-
-    hf, npart = C.HALF_N_FULL_ROUNDS, C.N_PARTIAL_ROUNDS
-    lo, hi = jax.lax.fori_loop(0, hf, full_round, (lo, hi))
-    lo, hi = jax.lax.fori_loop(hf, hf + npart, partial_round, (lo, hi))
-    lo, hi = jax.lax.fori_loop(hf + npart, C.N_ROUNDS, full_round, (lo, hi))
+        lo, hi = mds(lo, hi)
+    for r in range(hf + npart, C.N_ROUNDS):
+        lo, hi = add_rc(lo, hi, r)
+        lo, hi = _sbox(lo, hi)
+        lo, hi = mds(lo, hi)
     return lo, hi
 
 
-def _poseidon_kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref,
-                     out_lo_ref, out_hi_ref):
-    lo, hi = _rounds(lo_ref[:], hi_ref[:], rc_lo_ref[:], rc_hi_ref[:])
+def _poseidon_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref, *,
+                     mds_mode: str):
+    lo, hi = _rounds(lo_ref[:], hi_ref[:], mds_mode)
     out_lo_ref[:] = lo
     out_hi_ref[:] = hi
 
 
-@jax.jit
-def permute_cols_jnp(lo: jnp.ndarray, hi: jnp.ndarray):
+@partial(jax.jit, static_argnums=(2,))
+def permute_cols_jnp(lo: jnp.ndarray, hi: jnp.ndarray,
+                     mds_mode: str = "roll"):
     """The kernel's exact round pipeline as plain XLA ops — the CPU-testable
-    twin of permute_cols (pltpu.roll falls back to jnp.roll off-TPU)."""
-    return _rounds(lo, hi, jnp.asarray(_RC_LO_T), jnp.asarray(_RC_HI_T))
+    twin of permute_cols."""
+    return _rounds(lo, hi, mds_mode)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def permute_cols(lo: jnp.ndarray, hi: jnp.ndarray, tile_b: int = TILE_B,
-                 interpret: bool = False):
+                 interpret: bool = False, mds_mode: str = "roll"):
     """Poseidon on (12, B) planar limb arrays; B must be a multiple of tile_b."""
     assert lo.shape[0] == WIDTH and lo.shape == hi.shape
     b = lo.shape[1]
@@ -163,15 +222,13 @@ def permute_cols(lo: jnp.ndarray, hi: jnp.ndarray, tile_b: int = TILE_B,
     grid = (b // tile_b,)
     spec = pl.BlockSpec((WIDTH, tile_b), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    rc_spec = pl.BlockSpec((WIDTH, 30), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
     out_lo, out_hi = pl.pallas_call(
-        _poseidon_kernel,
+        partial(_poseidon_kernel, mds_mode=mds_mode),
         grid=grid,
-        in_specs=[spec, spec, rc_spec, rc_spec],
+        in_specs=[spec, spec],
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct(lo.shape, jnp.uint32),
                    jax.ShapeDtypeStruct(hi.shape, jnp.uint32)],
         interpret=interpret,
-    )(lo, hi, jnp.asarray(_RC_LO_T), jnp.asarray(_RC_HI_T))
+    )(lo, hi)
     return out_lo, out_hi
