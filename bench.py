@@ -41,8 +41,8 @@ BATCH, LOG_N, RATE_BITS = 64, 16, 3
 N = 1 << LOG_N
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _lde_chain(seed, reps: int):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _lde_chain(seed, reps: int, impl: str):
     import jax.numpy as jnp
     # generate the coefficient batch ON DEVICE: the tunnel re-uploads host
     # inputs per call at ~40 MB/s, which would swamp the measurement
@@ -51,7 +51,12 @@ def _lde_chain(seed, reps: int):
                 base ^ jnp.uint32(0x9E3779B9))
 
     def body(i, c):
-        out = ntt.lde(c, RATE_BITS, shift=7)
+        if impl == "mxu":
+            from plonky2_tpu.ops.mxu_lde_pallas import mxu_lde
+            out = mxu_lde(c, RATE_BITS, shift=7)
+            out = GF(out.lo.reshape(BATCH, -1), out.hi.reshape(BATCH, -1))
+        else:
+            out = ntt.lde(c, RATE_BITS, shift=7)
         # fold back to input size with a data dependency between iterations
         # so nothing can be deduplicated or overlapped away
         return GF(out.lo[..., :N], out.hi[..., :N] + jnp.uint32(1))
@@ -60,25 +65,37 @@ def _lde_chain(seed, reps: int):
     return out.lo.sum() + out.hi.sum()
 
 
-def main():
+def _measure(impl: str, reps: int) -> float:
+    """elems/s for one implementation (compile excluded via warm-up call)."""
     import jax.numpy as jnp
     out_elems = BATCH * (N << RATE_BITS)
-
-    reps = 8
-    # warm-up / compile
-    _ = jax.device_get(_lde_chain(jnp.uint32(1), reps))
-
+    _ = jax.device_get(_lde_chain(jnp.uint32(1), reps, impl))
     t0 = time.perf_counter()
-    _ = jax.device_get(_lde_chain(jnp.uint32(2), reps))
-    dt = time.perf_counter() - t0
+    _ = jax.device_get(_lde_chain(jnp.uint32(2), reps, impl))
+    return out_elems * reps / (time.perf_counter() - t0)
 
-    throughput = out_elems * reps / dt
+
+def main():
+    reps = 8
+    results = {"radix8": _measure("radix8", reps)}
+    # the fused MXU four-step kernel (ops/mxu_lde_pallas.py) is TPU-only;
+    # fall back to the radix-8 number if it fails to compile or run
+    if jax.default_backend() != "cpu":
+        try:
+            results["mxu"] = _measure("mxu", reps)
+        except Exception:
+            pass
+
+    impl = max(results, key=results.get)
+    throughput = results[impl]
     ROUND1_THROUGHPUT = 0.81e9  # BASELINE.md, BENCH_r01.json
     print(json.dumps({
         "metric": "ntt_lde_throughput",
         "value": throughput,
         "unit": "goldilocks_elems_per_sec_per_chip",
         "vs_baseline": throughput / ROUND1_THROUGHPUT,
+        "impl": impl,
+        "all": {k: round(v) for k, v in results.items()},
     }))
 
 
