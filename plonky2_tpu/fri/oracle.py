@@ -49,6 +49,14 @@ def _use_mxu_lde(n: int, rate_bits: int) -> bool:
         return False
     if n < 4096 or n % 128:
         return False
+    # kernel preconditions: lane-aligned step-2 size, and BOTH dot
+    # contractions f32-exact (|dot| <= 128*128*len needs len <= 512 —
+    # step 2 contracts n2, step 1 contracts n1z = n/n2)
+    from ..ops.mxu_lde_pallas import pick_n2
+    import numpy as np
+    n2 = pick_n2(int(np.log2(n)), rate_bits)
+    if n2 % 128 or n // n2 > 512:
+        return False
     return impl in ("mxu", "auto")
 
 

@@ -134,21 +134,30 @@ def _permute_via_cols(state: GF) -> GF:
     return GF(olo.T.reshape(*batch, 12), ohi.T.reshape(*batch, 12))
 
 
-@jax.jit
 def permute(state: GF) -> GF:
     """Full 30-round Poseidon permutation on a (..., 12) GF state.
 
     Large batches on TPU dispatch to the fused Pallas column kernel
-    (ops/poseidon_pallas.py); otherwise rounds run under lax.fori_loop
-    (round constants dynamically indexed) to keep the traced graph ~30x
-    smaller than full unrolling — compile time matters because every
-    distinct batch shape compiles once.
+    (ops/poseidon_pallas.py); otherwise the fori-loop path runs.  The
+    dispatch is resolved OUTSIDE any jit cache (this wrapper is not
+    jitted), so flipping PLONKY2_TPU_POSEIDON_IMPL takes effect on the
+    next direct call even for already-seen batch shapes; inside an outer
+    jit trace the choice is frozen into that trace, as any Python-level
+    branch is.
     """
     assert state.shape[-1] == 12
     batch = state.shape[:-1]
     b = int(np.prod(batch)) if batch else 1
     if b % 128 == 0 and b >= _pallas_batch_threshold():
         return _permute_via_cols(state)
+    return _permute_fori(state)
+
+
+@jax.jit
+def _permute_fori(state: GF) -> GF:
+    """fori_loop round pipeline (round constants dynamically indexed) —
+    keeps the traced graph ~30x smaller than full unrolling; compile time
+    matters because every distinct batch shape compiles once."""
     rc = _round_consts()
     state = jax.lax.fori_loop(
         0, C.HALF_N_FULL_ROUNDS, lambda r, s: _full_round(r, s, rc), state)

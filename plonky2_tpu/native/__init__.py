@@ -87,6 +87,7 @@ def keccak_merkle_layer(level: np.ndarray, size: int) -> np.ndarray:
     """One 2-to-1 Merkle layer over (2n, size) byte digests -> (n, size)."""
     lib = _load()
     assert lib is not None
+    assert 0 < size <= 32, size  # C side concatenates pairs into 64 bytes
     level = np.ascontiguousarray(level, dtype=np.uint8)
     n = level.shape[0] // 2
     out = np.empty((n, size), dtype=np.uint8)

@@ -112,6 +112,7 @@ void keccak256_rows(const uint8_t *rows, size_t n, size_t len, uint8_t *out) {
 // pairs are rows (2i, 2i+1) of `level`, output row i = keccak256(pair)[:size].
 void keccak_merkle_layer(const uint8_t *level, size_t n, size_t size,
                          uint8_t *out) {
+  if (size == 0 || size > 32) return;  // cat[] holds two <=32-byte digests
   for (size_t i = 0; i < n; ++i) {
     uint8_t cat[2 * 32];
     std::memcpy(cat, level + 2 * i * size, 2 * size);

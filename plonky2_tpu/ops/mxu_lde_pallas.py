@@ -106,6 +106,10 @@ def _lde_tables(log_n: int, rate_bits: int, shift: int, n2: int):
     n1 = big_n // n2
     n1z = n // n2
     assert n2 <= n and n2 % LANES == 0, (n, n2)
+    # f32 exactness: both dots accumulate |plane products| <= 128*128 per
+    # term, so contraction lengths must stay <= 512 (2^23 < 2^24)
+    assert n2 <= 512 and n1z <= 512, \
+        f"contraction too long for exact f32 accumulation: n2={n2} n1z={n1z}"
     log_big = log_n + rate_bits
     w_n1 = gl64.primitive_root_of_unity(int(np.log2(n1)))
     w_n2 = gl64.primitive_root_of_unity(int(np.log2(n2)))

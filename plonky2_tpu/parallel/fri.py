@@ -64,14 +64,9 @@ def _fold_tables(log_n: int, shift: int, arity_bits: int):
     return tables
 
 
-def _flatten_ext_leaves(values: GF2, arity: int) -> GF:
-    """(m*arity,) ext values -> (m, 2*arity) base leaves (fri/prover.py)."""
-    m = values.shape[0] // arity
-    a = values.a.reshape(m, arity)
-    b = values.b.reshape(m, arity)
-    lo = jnp.stack([a.lo, b.lo], axis=-1).reshape(m, 2 * arity)
-    hi = jnp.stack([a.hi, b.hi], axis=-1).reshape(m, 2 * arity)
-    return GF(lo, hi)
+# the leaf-flattening convention ([a0,b0,a1,b1,...]) must stay identical
+# to the single-chip prover's for transcript equality — share one impl
+from ..fri.prover import _flatten_ext_leaves
 
 
 def _shard_vec(x: GF, mesh, axis: str) -> GF:

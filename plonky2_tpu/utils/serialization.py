@@ -32,6 +32,10 @@ class Buffer:
     def __init__(self, data: bytes = b""):
         self.data = bytearray(data)
         self.pos = 0
+        # digest kind for reads: None = 4-felt Poseidon hashes; an int =
+        # raw byte digests of that size (keccak config, KeccakHash<25>).
+        # Writers dispatch on the array dtype instead (uint8 = bytes).
+        self.digest_bytes = None
 
     def bytes(self) -> bytes:
         return bytes(self.data)
@@ -67,7 +71,11 @@ class Buffer:
             self.write_ext(v)
 
     def write_hash(self, h):
-        self.write_field_vec(np.asarray(h, dtype=np.uint64).reshape(4))
+        h = np.asarray(h)
+        if h.dtype == np.uint8:   # byte digest (keccak.rs BytesHash)
+            self.data += h.reshape(-1).tobytes()
+            return
+        self.write_field_vec(h.astype(np.uint64).reshape(4))
 
     def write_cap(self, cap: MerkleCap):
         """Cap hashes back to back, NO length prefix (mod.rs:1367) — the
@@ -77,7 +85,9 @@ class Buffer:
 
     def write_hash_vec(self, hashes):
         """usize-length-prefixed hash list (mod.rs:1352)."""
-        hashes = np.asarray(hashes, dtype=np.uint64).reshape(-1, 4)
+        hashes = np.asarray(hashes)
+        if hashes.dtype != np.uint8:
+            hashes = hashes.astype(np.uint64).reshape(-1, 4)
         self.write_usize(len(hashes))
         for h in hashes:
             self.write_hash(h)
@@ -124,19 +134,32 @@ class Buffer:
     def read_ext_vec(self, n: int) -> np.ndarray:
         return self.read_field_vec(2 * n).reshape(n, 2)
 
+    def _read_byte_digests(self, n: int) -> np.ndarray:
+        db = self.digest_bytes
+        return np.frombuffer(self._take(n * db), np.uint8).reshape(n, db)
+
     def read_hash(self) -> np.ndarray:
+        if self.digest_bytes:
+            return self._read_byte_digests(1)[0]
         return self.read_field_vec(4)
 
-    def read_cap(self, cap_height: int) -> MerkleCap:
+    def read_cap(self, cap_height: int):
         n = 1 << cap_height
+        if self.digest_bytes:
+            from ..hash.keccak_tree import BytesMerkleCap
+            return BytesMerkleCap(self._read_byte_digests(n))
         return MerkleCap(self.read_field_vec(4 * n).reshape(n, 4))
 
     def read_hash_vec(self) -> np.ndarray:
         n = self.read_usize()
+        if self.digest_bytes:
+            return self._read_byte_digests(n)
         return self.read_field_vec(4 * n).reshape(n, 4)
 
     def read_merkle_proof(self) -> MerkleProof:
         n = self.read_u8()
+        if self.digest_bytes:
+            return MerkleProof(self._read_byte_digests(n))
         return MerkleProof(self.read_field_vec(4 * n).reshape(n, 4))
 
     def read_str(self) -> str:
@@ -300,8 +323,17 @@ def proof_with_pis_to_bytes(pwp: ProofWithPublicInputs) -> bytes:
     return buf.bytes()
 
 
+def _digest_bytes_for(hasher: str):
+    """Byte-digest size for a hasher config, None for felt digests."""
+    if hasher == "keccak":
+        from ..hash.keccak_tree import HASH_SIZE
+        return HASH_SIZE
+    return None
+
+
 def proof_with_pis_from_bytes(data: bytes, common) -> ProofWithPublicInputs:
     buf = Buffer(data)
+    buf.digest_bytes = _digest_bytes_for(common.config.hasher)
     proof = read_proof(buf, common)
     n = buf.read_usize()
     return ProofWithPublicInputs(proof, buf.read_field_vec(n))
@@ -570,6 +602,10 @@ def write_schedule(buf: Buffer, sched) -> None:
     buf.write_usize(len(sched._residual_specs))
     for spec, dreps, oreps in sched._residual_specs:
         buf.write_str(spec.kind)
+        if spec.kind == "custom" and spec.name is None:
+            raise ValueError(
+                "cannot checkpoint a custom generator without a "
+                "registry name (plonk/generators.py)")
         buf.write_str(spec.name or "")
         _write_literal(buf, spec.params)
         _write_i64s(buf, np.asarray(dreps, np.int64))
@@ -632,22 +668,41 @@ def read_schedule(buf: Buffer, luts: list):
 
 
 def write_merkle_tree(buf: Buffer, tree) -> None:
+    levels_u8 = np.asarray(tree.levels[0]).dtype == np.uint8
+    buf.write_u8(1 if levels_u8 else 0)   # keccak byte-digest tree?
     buf.write_usize(tree.cap_height)
     buf.write_usize(tree.leaf_len)
     _write_u64s(buf, np.asarray(tree.leaves_np, np.uint64))
     buf.write_usize(len(tree.levels))
     for lvl in tree.levels:
-        _write_u64s(buf, lvl)
+        if levels_u8:
+            lvl = np.asarray(lvl, np.uint8)
+            buf.write_usize(lvl.shape[0])
+            buf.write_usize(lvl.shape[1])
+            buf.data += lvl.tobytes()
+        else:
+            _write_u64s(buf, lvl)
 
 
 def read_merkle_tree(buf: Buffer):
+    from ..hash.keccak_tree import BytesMerkleCap, BytesMerkleTree
     from ..hash.merkle import MerkleCap, MerkleTree
-    tree = object.__new__(MerkleTree)
+    is_bytes = buf.read_u8() == 1
+    tree = object.__new__(BytesMerkleTree if is_bytes else MerkleTree)
     tree.cap_height = buf.read_usize()
     tree.leaf_len = buf.read_usize()
     tree.leaves_np = _read_u64s(buf)
-    tree.levels = [_read_u64s(buf) for _ in range(buf.read_usize())]
-    tree.cap = MerkleCap(tree.levels[-1])
+    if is_bytes:
+        levels = []
+        for _ in range(buf.read_usize()):
+            n, w = buf.read_usize(), buf.read_usize()
+            levels.append(np.frombuffer(buf._take(n * w),
+                                        np.uint8).reshape(n, w))
+        tree.levels = levels
+        tree.cap = BytesMerkleCap(levels[-1])
+    else:
+        tree.levels = [_read_u64s(buf) for _ in range(buf.read_usize())]
+        tree.cap = MerkleCap(tree.levels[-1])
     return tree
 
 
@@ -668,7 +723,10 @@ def read_polynomial_batch(buf: Buffer):
     blinding = buf.read_bool()
     polys = GF.from_u64(_read_u64s(buf))
     tree = read_merkle_tree(buf)
-    return PolynomialBatch(polys, tree, degree_log, rate_bits, blinding)
+    from ..hash.keccak_tree import BytesMerkleTree
+    hasher = "keccak" if isinstance(tree, BytesMerkleTree) else "poseidon"
+    return PolynomialBatch(polys, tree, degree_log, rate_bits, blinding,
+                           hasher=hasher)
 
 
 def prover_data_to_bytes(prover_only) -> bytes:
@@ -691,6 +749,7 @@ def prover_data_to_bytes(prover_only) -> bytes:
 def prover_data_from_bytes(data: bytes, common: CommonCircuitData):
     from ..plonk.circuit_data import ProverOnlyCircuitData
     buf = Buffer(data)
+    buf.digest_bytes = _digest_bytes_for(common.config.hasher)
     schedule = read_schedule(buf, list(common.luts))
     commitment = read_polynomial_batch(buf)
     sigmas = _read_u64s(buf)
@@ -720,7 +779,8 @@ def circuit_data_from_bytes(data: bytes):
     from ..plonk.circuit_data import CircuitData
     buf = Buffer(data)
     common = common_data_from_bytes(buf._take(buf.read_usize()))
-    verifier_only = verifier_data_from_bytes(buf._take(buf.read_usize()))
+    verifier_only = verifier_data_from_bytes(buf._take(buf.read_usize()),
+                                             hasher=common.config.hasher)
     prover_only = prover_data_from_bytes(buf._take(buf.read_usize()), common)
     return CircuitData(prover_only, verifier_only, common)
 
@@ -735,7 +795,9 @@ def verifier_data_to_bytes(vd: VerifierOnlyCircuitData) -> bytes:
     return buf.bytes()
 
 
-def verifier_data_from_bytes(data: bytes) -> VerifierOnlyCircuitData:
+def verifier_data_from_bytes(data: bytes,
+                             hasher: str = "poseidon") -> VerifierOnlyCircuitData:
     buf = Buffer(data)
+    buf.digest_bytes = _digest_bytes_for(hasher)
     height = buf.read_usize()
     return VerifierOnlyCircuitData(buf.read_cap(height), buf.read_hash())

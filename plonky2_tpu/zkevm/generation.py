@@ -53,8 +53,10 @@ CPU, MEMORY, LOGIC, ARITHMETIC = 0, 1, 2, 3
 ARITH_NATIVE = {"add", "mul", "sub", "div", "mod", "lt", "gt", "byte",
                 "addmod", "mulmod", "addfp254", "mulfp254", "subfp254"}
 
-# user opcodes that grow the stack via their syscall handler (GAS)
-SYSCALL_STACK_INCREASING = {0x5A}
+# user opcodes that grow the stack via their syscall handler (GAS) —
+# shared with the kernel's GLOBAL_STACK_INCREASING_USER bitmask so the
+# exc_stack_overflow handler accepts the trap the simulator takes
+from .kernel.aggregator import SYSCALL_STACK_INCREASING
 
 
 @dataclass

@@ -72,6 +72,9 @@ SYSCALL_ROUTES = {
     0x51: "sys_mload", 0x52: "sys_mstore", 0x53: "sys_mstore8",
     0x5A: "sys_gas",
 }
+# user opcodes that grow the stack via their syscall handler (GAS); the
+# simulator traps EXC_STACK_OVERFLOW for these before syscall dispatch
+SYSCALL_STACK_INCREASING = {0x5A}
 EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
               "exc_stack_underflow", "exc_invalid_jump",
               "exc_invalid_jumpi", "exc_stack_overflow", "panic", "panic")
@@ -98,11 +101,18 @@ def invalid_opcodes_user_mask() -> int:
 
 def stack_increasing_user_mask() -> int:
     """Opcodes that grow the user stack by one
-    (exc_bitfields.rs STACK_LENGTH_INCREASING_OPCODES_USER)."""
+    (exc_bitfields.rs STACK_LENGTH_INCREASING_OPCODES_USER).  Includes
+    stack-growing SYSCALLS (GAS): the simulator traps the overflow
+    BEFORE the syscall dispatch (generation.py SYSCALL_STACK_INCREASING),
+    and exc_stack_overflow consults this mask to accept the trap —
+    without the bit a legitimate overflow on GAS lands in panic and the
+    program becomes unprovable (the syscall path is no escape: sys_gas's
+    push would leave user sp = 1025, which the AIR rejects)."""
     mask = 0
     for oc in range(256):
         op = decode_native(oc, kernel_mode=False)
-        if op is not None and op.sp_delta == 1:
+        if (op is not None and op.sp_delta == 1) or \
+                (op is None and oc in SYSCALL_STACK_INCREASING):
             mask |= 1 << oc
     return mask
 

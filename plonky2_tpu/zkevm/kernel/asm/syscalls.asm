@@ -11,7 +11,19 @@
 // components (per-word keccak cost, exp byte cost) are flat.
 
 global sys_stop:
-    // stack: trap — discard it so the final stack is the user stack
+    // stack: trap — a successful halt must be inside the block gas
+    // limit.  The AIR only accumulates GAS (gas.rs equivalent) and never
+    // compares it, so this software check is what forces the out-of-gas
+    // semantics: an over-limit execution cannot reach HALT and its only
+    // provable exit is exc_out_of_gas (which re-verifies gas_used >
+    // limit); the reference leaves exc_out_of_gas as TODO
+    // (cpu/kernel/asm/core/exception.asm:26).
+    %mload_global(@GLOBAL_GASLIMIT)
+    DUP2
+    PUSH 192
+    SHR                          // [trap, limit, gas_used]
+    GT                           // [trap, gas_used > limit]
+    %jumpi(panic)
     POP
     HALT
 

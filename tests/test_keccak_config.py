@@ -110,3 +110,45 @@ def test_keccak_config_prove_verify_e2e():
     evil.proof.wires_cap.data[0][0] ^= 1
     with pytest.raises(AssertionError):
         data.verify(evil)
+
+
+def test_keccak_config_serialization_roundtrip():
+    """Keccak-config proofs and circuit data serialize: byte digests in
+    caps/merkle proofs/circuit digest take the raw-bytes wire encoding
+    (reference BytesHash GenericHashOut, hash/keccak.rs:44)."""
+    from plonky2_tpu.utils import serialization as ser
+
+    b = CircuitBuilder(_config())
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    out = b.add(b.mul(x, x), b.add_const(y, 42))
+    b.register_public_inputs([x, y, out])
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(x, 3)
+    pw.set_target(y, 5)
+    proof = data.prove(pw)
+
+    # proof wire round-trip
+    raw = ser.proof_with_pis_to_bytes(proof)
+    rt = ser.proof_with_pis_from_bytes(raw, data.common)
+    assert rt.proof.wires_cap.data.dtype == np.uint8
+    assert np.array_equal(rt.proof.wires_cap.data, proof.proof.wires_cap.data)
+    data.verify(rt)
+
+    # verifier data round-trip
+    vd = ser.verifier_data_from_bytes(
+        ser.verifier_data_to_bytes(data.verifier_only), hasher="keccak")
+    assert np.array_equal(vd.circuit_digest, data.verifier_only.circuit_digest)
+    assert np.array_equal(vd.constants_sigmas_cap.data,
+                          data.verifier_only.constants_sigmas_cap.data)
+
+    # full circuit checkpoint: rebuildable and able to prove again
+    blob = ser.circuit_data_to_bytes(data)
+    data2 = ser.circuit_data_from_bytes(blob)
+    pw2 = PartialWitness()
+    pw2.set_target(x, 4)
+    pw2.set_target(y, 6)
+    proof2 = data2.prove(pw2)
+    data2.verify(proof2)
+    data.verify(proof2)

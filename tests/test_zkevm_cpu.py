@@ -405,3 +405,51 @@ def test_prove_verify_with_rom_binding():
     other[0] = (0x60, 6)
     with pytest.raises(AssertionError):
         verify_program_proof(starks, ctls, proof, user_code=other)
+
+
+def test_exc_stack_overflow_on_gas_syscall():
+    """GAS at sp == MAX_USER_STACK_SIZE must trap EXC_STACK_OVERFLOW and
+    the kernel handler must accept it: GLOBAL_STACK_INCREASING_USER now
+    carries the stack-growing-syscall bit (0x5A); without it the handler
+    panicked and the program was unprovable."""
+    sim = run("""
+global user_main:
+loop:
+    JUMPDEST
+    GAS
+    PUSH loop
+    JUMP
+""", max_cycles=60000, global_values={GLOBAL_BLOCK_GASLIMIT: 1 << 40})
+    assert sim.exc_status == 1
+
+
+def test_sys_stop_rejects_over_limit_halt():
+    """sys_stop verifies gas_used <= limit before HALT: a prover that
+    skips the out-of-gas trap and drives sys_stop with an over-limit
+    trap word lands in panic (never halts), so over-limit executions are
+    only provable as OOG faults — the AIR accumulates GAS but never
+    compares it, making this software check the binding one."""
+    from plonky2_tpu.zkevm.kernel import build_kernel
+    kernel = build_kernel(main_source="""
+global main:
+    PUSH 100
+    PUSH 192
+    SHL
+    %jump(sys_stop)
+""")
+    sim = Simulator(kernel=kernel, trace=False, max_cycles=3000,
+                    global_values={GLOBAL_BLOCK_GASLIMIT: 5})
+    with pytest.raises(RuntimeError):
+        sim.run()
+    # within the limit the same path halts cleanly
+    kernel2 = build_kernel(main_source="""
+global main:
+    PUSH 3
+    PUSH 192
+    SHL
+    %jump(sys_stop)
+""")
+    sim2 = Simulator(kernel=kernel2, trace=False, max_cycles=3000,
+                     global_values={GLOBAL_BLOCK_GASLIMIT: 5})
+    sim2.run()
+    assert sim2.exc_status == 0
