@@ -559,6 +559,46 @@ def _read_u64s(buf: Buffer) -> np.ndarray:
         np.uint64).reshape(shape)
 
 
+def encode_target_tree(obj):
+    """Proof-target structures (nested dataclasses whose leaves are plain
+    int targets) -> a pure-literal tagged tree, so expensively-built
+    circuits can checkpoint their attached targets (the reference
+    serializes every *Target struct explicitly, mod.rs:1504-1762; here
+    one generic pytree codec covers them all)."""
+    import dataclasses
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return ("D", type(obj).__module__, type(obj).__name__,
+                tuple((f.name, encode_target_tree(getattr(obj, f.name)))
+                      for f in dataclasses.fields(obj)))
+    if isinstance(obj, tuple):
+        return ("T", tuple(encode_target_tree(x) for x in obj))
+    if isinstance(obj, list):
+        return ("L", tuple(encode_target_tree(x) for x in obj))
+    if isinstance(obj, (bool, int, np.integer)):
+        return ("I", int(obj))
+    if obj is None:
+        return ("N",)
+    raise TypeError(f"not a target tree: {type(obj)}")
+
+
+def decode_target_tree(t):
+    import importlib
+    tag = t[0]
+    if tag == "D":
+        assert t[1].split(".")[0] == "plonky2_tpu", t[1]
+        cls = getattr(importlib.import_module(t[1]), t[2])
+        return cls(**{k: decode_target_tree(v) for k, v in t[3]})
+    if tag == "T":
+        return tuple(decode_target_tree(x) for x in t[1])
+    if tag == "L":
+        return [decode_target_tree(x) for x in t[1]]
+    if tag == "I":
+        return t[1]
+    if tag == "N":
+        return None
+    raise ValueError(t)
+
+
 def _write_literal(buf: Buffer, obj) -> None:
     """Plain-data params (ints / tuples / lists): repr + literal_eval."""
     buf.write_str(repr(obj))

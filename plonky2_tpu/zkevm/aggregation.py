@@ -177,6 +177,53 @@ class AllRecursiveCircuits:
         return data
 
     # ------------------------------------------------------------------
+    # checkpoint (fixed_recursive_verifier.rs:95 to_buffer / :111 from_buffer)
+
+    _EXTRAS = (("root", ("root_pts", "verifier_data_pi")),
+               ("aggregation", ("children", "verifier_data_pi")),
+               ("block", ("has_parent", "parent_pt", "agg_pt",
+                          "verifier_data_pi")))
+
+    def to_bytes(self) -> bytes:
+        """Serialize all three circuits with their attached proof targets
+        so the expensive double-pass build runs once per deployment."""
+        from ..utils.serialization import (Buffer, _write_literal,
+                                           circuit_data_to_bytes,
+                                           encode_target_tree)
+        buf = Buffer()
+        _write_literal(buf, tuple(int(b) for b in self.degree_bits))
+        for name, extras in self._EXTRAS:
+            data = getattr(self, name)
+            blob = circuit_data_to_bytes(data)
+            buf.write_usize(len(blob))
+            buf.data += blob
+            _write_literal(buf, encode_target_tree(
+                tuple(getattr(data, e) for e in extras)))
+        return buf.bytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, starks, ctls, stark_config):
+        """Restore a checkpoint; the stark set/CTLs/config are cheap to
+        construct and passed in (the reference's from_buffer likewise
+        rebuilds around a Default AllStark)."""
+        from ..utils.serialization import (Buffer, _read_literal,
+                                           circuit_data_from_bytes,
+                                           decode_target_tree)
+        buf = Buffer(raw)
+        self = cls.__new__(cls)
+        self.starks = starks
+        self.ctls = ctls
+        self.stark_config = stark_config
+        self.degree_bits = list(_read_literal(buf))
+        for name, extras in cls._EXTRAS:
+            data = circuit_data_from_bytes(buf._take(buf.read_usize()))
+            for e, v in zip(extras, decode_target_tree(_read_literal(buf))):
+                setattr(data, e, v)
+            setattr(self, name, data)
+        self.config = self.root.common.config
+        return self
+
+    # ------------------------------------------------------------------
     # proving (fixed_recursive_verifier.rs:590,630,667)
 
     def prove_root(self, multi_proof):

@@ -79,8 +79,15 @@ def test_aggregation_tree_and_block_chain():
     multi = prove_multi_table(starks, ctls, sconfig, traces)
     verify_multi_table(starks, ctls, multi, sconfig)
 
-    circuits = AllRecursiveCircuits(starks, ctls, sconfig,
-                                    multi.degree_bits(), cconfig)
+    built = AllRecursiveCircuits(starks, ctls, sconfig,
+                                 multi.degree_bits(), cconfig)
+
+    # checkpoint/resume (fixed_recursive_verifier.rs:95,111): the whole
+    # tree below proves through the RESTORED circuits, and the blob is a
+    # fixed point of serialization
+    blob = built.to_bytes()
+    circuits = AllRecursiveCircuits.from_bytes(blob, starks, ctls, sconfig)
+    assert circuits.to_bytes() == blob
 
     root = circuits.prove_root(multi)
     # leaf + leaf
