@@ -65,6 +65,7 @@ GLOBAL_TXN_TO = 22
 GLOBAL_TXN_VALUE = 23
 GLOBAL_TXN_NONCE = 24
 GLOBAL_TXN_GASPRICE = 25
+GLOBAL_TXN_COUNT = 26        # 0 = empty block (roots must be unchanged)
 GLOBAL_MIN_SP_BASE = 256
 
 SYSCALL_ROUTES = {
@@ -207,6 +208,7 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "GLOBAL_TXN_VALUE": GLOBAL_TXN_VALUE,
         "GLOBAL_TXN_NONCE": GLOBAL_TXN_NONCE,
         "GLOBAL_TXN_GASPRICE": GLOBAL_TXN_GASPRICE,
+        "GLOBAL_TXN_COUNT": GLOBAL_TXN_COUNT,
         "GLOBAL_BLOCK_BENEFICIARY": GLOBAL_BLOCK_BENEFICIARY,
         "GLOBAL_BLOCK_BASE_FEE": GLOBAL_BLOCK_BASE_FEE,
         "MPT_EMPTY": 0, "MPT_HASH": 1, "MPT_BRANCH": 2,

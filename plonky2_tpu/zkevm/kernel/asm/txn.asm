@@ -323,6 +323,11 @@ tm_1:
     %check_trie_root(hash_state_trie, @GLOBAL_STATE_ROOT_BEFORE)
     %check_trie_root(hash_txn_trie, @GLOBAL_TXN_ROOT_BEFORE)
     %check_trie_root(hash_receipt_trie, @GLOBAL_RECEIPT_ROOT_BEFORE)
+    // empty block (reference evm/tests/empty_txn_list.rs): no txn to
+    // execute, the after-roots must equal the before-roots
+    %mload_global(@GLOBAL_TXN_COUNT)
+    ISZERO
+    %jumpi(tm_2)
     PUSH tm_2
     %jump(execute_transfer)
 tm_2:

@@ -28,7 +28,7 @@ from .kernel.aggregator import (GLOBAL_BLOCK_BASE_FEE,
                                 GLOBAL_RECEIPT_ROOT_BEFORE,
                                 GLOBAL_STATE_ROOT_AFTER,
                                 GLOBAL_STATE_ROOT_BEFORE,
-                                GLOBAL_TXN_GASPRICE, GLOBAL_TXN_NONCE,
+                                GLOBAL_TXN_COUNT, GLOBAL_TXN_GASPRICE, GLOBAL_TXN_NONCE,
                                 GLOBAL_TXN_ROOT_AFTER,
                                 GLOBAL_TXN_ROOT_BEFORE, GLOBAL_TXN_SENDER,
                                 GLOBAL_TXN_TO, GLOBAL_TXN_VALUE,
@@ -76,9 +76,11 @@ class Transfer:
 
 @dataclass
 class GenerationInputs:
-    """(generation/mod.rs:39)"""
+    """(generation/mod.rs:39); txn=None is an empty block
+    (evm/tests/empty_txn_list.rs): nothing executes and the after-roots
+    must equal the before-roots."""
 
-    txn: Transfer
+    txn: Transfer | None
     tries: mpt.TrieInputs = field(default_factory=mpt.TrieInputs)
     block_metadata: BlockMetadata = field(default_factory=BlockMetadata)
 
@@ -97,7 +99,7 @@ class PublicValues:
     trie_roots_before: TrieRoots
     trie_roots_after: TrieRoots
     block_metadata: BlockMetadata
-    txn: Transfer
+    txn: Transfer | None
 
 
 def _get_account(state, address: bytes) -> mpt.Account | None:
@@ -114,6 +116,8 @@ def apply_transfer(inputs: GenerationInputs) -> mpt.TrieInputs:
     on the same conditions the kernel panics on (missing sender, nonce
     mismatch, insufficient balance)."""
     txn, md = inputs.txn, inputs.block_metadata
+    if txn is None:   # empty block: identity on every trie
+        return inputs.tries
     state = inputs.tries.state_trie
     sender = _get_account(state, txn.sender)
     assert sender is not None, "sender account missing"
@@ -166,8 +170,10 @@ def global_values_for(pv: PublicValues) -> dict:
     """The SEG_GLOBAL image slots for a transfer block — everything the
     kernel's check_root / execute_transfer reads, derived purely from
     PublicValues (so the verifier can rebuild the image)."""
-    md, txn = pv.block_metadata, pv.txn
+    md = pv.block_metadata
+    txn = pv.txn or Transfer(sender=b"\x00" * 20, to=b"\x00" * 20, value=0)
     return {
+        GLOBAL_TXN_COUNT: 0 if pv.txn is None else 1,
         GLOBAL_BLOCK_BENEFICIARY: _be(md.beneficiary),
         GLOBAL_BLOCK_TIMESTAMP: md.timestamp,
         GLOBAL_BLOCK_NUMBER: md.number,

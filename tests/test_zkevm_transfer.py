@@ -236,3 +236,26 @@ def test_transfer_insufficient_balance_rejected():
     inputs = _base_inputs(value=2 * 10 ** 18)
     with pytest.raises(AssertionError):
         apply_transfer(inputs)
+
+
+def test_empty_block():
+    """evm/tests/empty_txn_list.rs equivalent: txn=None proves an empty
+    block — nothing executes, after-roots equal before-roots, and the
+    kernel still loads, hashes, and checks all six roots in-machine."""
+    base = _base_inputs()
+    inputs = GenerationInputs(txn=None, tries=base.tries,
+                              block_metadata=base.block_metadata)
+    sim, pv = simulate_transfer(inputs, trace=False)
+    assert pv.trie_roots_after == pv.trie_roots_before
+    assert pv.txn is None
+
+    # a forged after-root on an empty block is unprovable
+    from plonky2_tpu.zkevm.kernel.aggregator import GLOBAL_TXN_ROOT_AFTER
+    from plonky2_tpu.zkevm.transfer import global_values_for, txn_kernel
+    gv = global_values_for(pv)
+    gv[GLOBAL_TXN_ROOT_AFTER] ^= 1
+    sim = Simulator(kernel=txn_kernel(), global_values=gv,
+                    prover_inputs=mpt.state_prover_inputs(inputs.tries),
+                    trace=False, max_cycles=400_000)
+    with pytest.raises(RuntimeError):
+        sim.run()
