@@ -136,7 +136,11 @@ def _lde_tables(log_n: int, rate_bits: int, shift: int, n2: int):
     th = _pow_matrix(pow(w_big, LANES, P), t1, np.arange(n2 // LANES),
                      big_n)
     tl = _pow_matrix(w_big, t1, np.arange(LANES), big_n)
-    th_gf = GF.from_u64(th)
+    # TH stored (n2/128, n1, 1): the i2-chunk index leads so the Pallas
+    # block can tile (1, tt1, 1) — Mosaic requires the last two block dims
+    # to divide (8, 128) or equal the array dims, which a (tt1, 1) block on
+    # an (n1, n2/128) table violates
+    th_gf = GF.from_u64(np.ascontiguousarray(th.T)[:, :, None])
     tl_gf = GF.from_u64(tl)
     return w1d, w2dt, th_gf, tl_gf, n1, n2, n1z
 
@@ -218,9 +222,9 @@ def _lde_kernel(w1_ref, w2t_ref, thlo_ref, thhi_ref, tllo_ref, tlhi_ref,
     w1 = w1_ref[...]                                  # (8, tt1, n1z)
     lo, hi = _digit_dot([w1[d] for d in range(NUM_DIGITS)],
                         clo_ref[0], chi_ref[0], contract_right=False)
-    # twiddle: T = TH[:, chunk] (broadcast over lanes) * TL
+    # twiddle: T = TH[chunk] (broadcast over lanes) * TL
     lo, hi = _fmul(lo, hi, tllo_ref[...], tlhi_ref[...])
-    lo, hi = _fmul(lo, hi, thlo_ref[...], thhi_ref[...])
+    lo, hi = _fmul(lo, hi, thlo_ref[0], thhi_ref[0])
     ylo, yhi = _offset_form(lo, hi)
     aylo_ref[:, pl.ds(ii2 * ti2, ti2)] = ylo
     ayhi_ref[:, pl.ds(ii2 * ti2, ti2)] = yhi
@@ -267,7 +271,7 @@ def mxu_lde(coeffs: GF, rate_bits: int, shift: int = 7, n2: int = 0,
 
     w1_spec = pl.BlockSpec((NUM_DIGITS, tt1, n1z), lambda ik, it, ii: (0, it, 0))
     w2_spec = pl.BlockSpec((NUM_DIGITS, n2, n2), lambda ik, it, ii: (0, 0, 0))
-    th_spec = pl.BlockSpec((tt1, 1), lambda ik, it, ii: (it, ii))
+    th_spec = pl.BlockSpec((1, tt1, 1), lambda ik, it, ii: (ii, it, 0))
     tl_spec = pl.BlockSpec((tt1, LANES), lambda ik, it, ii: (it, 0))
     c_spec = pl.BlockSpec((1, n1z, ti2), lambda ik, it, ii: (ik, 0, ii))
     out_spec = pl.BlockSpec((1, tt1, n2), lambda ik, it, ii: (ik, it, 0))
@@ -282,6 +286,10 @@ def mxu_lde(coeffs: GF, rate_bits: int, shift: int = 7, n2: int = 0,
                    jax.ShapeDtypeStruct((k, n1, n2), jnp.uint32)],
         scratch_shapes=[pltpu.VMEM((tt1, n2), jnp.uint32),
                         pltpu.VMEM((tt1, n2), jnp.uint32)],
+        # the resident W2 planes + double-buffered out tiles exceed the
+        # 16 MB default scoped-vmem budget at the flagship shape (~20 MB);
+        # v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
     )(w1d, w2dt, th.lo, th.hi, tl.lo, tl.hi, c3.lo, c3.hi)
     return GF(out_lo, out_hi)
 
@@ -307,8 +315,9 @@ def mxu_lde_jnp(coeffs: GF, rate_bits: int, shift: int = 7,
     # twiddle TH (x) TL
     tl_rep = GF(jnp.tile(tl.lo, (1, n2 // LANES)),
                 jnp.tile(tl.hi, (1, n2 // LANES)))
-    th_rep = GF(jnp.repeat(th.lo, LANES, axis=1),
-                jnp.repeat(th.hi, LANES, axis=1))
+    # th is stored (n2/128, n1, 1); recover the (n1, n2) broadcast
+    th_rep = GF(jnp.repeat(th.lo[:, :, 0].T, LANES, axis=1),
+                jnp.repeat(th.hi[:, :, 0].T, LANES, axis=1))
     a = a * (tl_rep * th_rep).reshape(n1, 1, n2)
     # step 2: contract i2
     a2 = GF(jnp.transpose(a.lo, (1, 0, 2)).reshape(k * n1, n2),
