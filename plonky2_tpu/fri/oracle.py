@@ -36,12 +36,13 @@ COSET_SHIFT = gl64.MULTIPLICATIVE_GROUP_GENERATOR  # F::coset_shift() = 7
 def _use_mxu_lde(n: int, rate_bits: int) -> bool:
     """Select the commitment LDE implementation.
 
-    PLONKY2_TPU_LDE_IMPL: "radix" (default) | "mxu" | "auto".  The fused
+    PLONKY2_TPU_LDE_IMPL: "auto" (default) | "mxu" | "radix".  The fused
     MXU kernel (ops/mxu_lde_pallas.py) needs a TPU backend and shapes
-    where an exact-f32 step-2 size divides n (n2 <= 512, 128 | n2);
-    "auto" turns it on whenever those hold.
+    where a lane-aligned step-2 size divides n; "auto" turns it on
+    whenever those hold (measured 2.3 G vs 0.8 G elems/s radix on v5e,
+    BASELINE.md).
     """
-    impl = os.environ.get("PLONKY2_TPU_LDE_IMPL", "radix")
+    impl = os.environ.get("PLONKY2_TPU_LDE_IMPL", "auto")
     if impl == "radix":
         return False
     import jax
@@ -49,9 +50,9 @@ def _use_mxu_lde(n: int, rate_bits: int) -> bool:
         return False
     if n < 4096 or n % 128:
         return False
-    # kernel preconditions: lane-aligned step-2 size, and BOTH dot
-    # contractions f32-exact (|dot| <= 128*128*len needs len <= 512 —
-    # step 2 contracts n2, step 1 contracts n1z = n/n2)
+    # kernel preconditions: lane-aligned step-2 size, and a step-1
+    # contraction (n1z = n/n2) short enough that the W1 table stays small
+    # and — for the bf16 fallback planes — the f32 accumulation exact
     from ..ops.mxu_lde_pallas import pick_n2
     import numpy as np
     n2 = pick_n2(int(np.log2(n)), rate_bits)

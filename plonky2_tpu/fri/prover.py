@@ -81,7 +81,10 @@ def fri_proof_of_work(challenger: Challenger, config: FriConfig) -> np.uint64:
     leading zeros."""
     min_lz = config.proof_of_work_bits  # + (64 - 64) for Goldilocks
     threshold = 1 << (64 - min_lz)
-    thr_hi = np.uint32(threshold >> 32)
+    # min_lz == 0 makes the threshold 2^64 (every response passes); clamp
+    # the u32/u64 comparison constants and accept-all below
+    unbounded = min_lz == 0
+    thr_hi = np.uint32(min(threshold >> 32, 0xFFFFFFFF))
     thr_lo = np.uint32(threshold & 0xFFFFFFFF)
 
     # Precompute the duplex-intermediate state: inputs written, witness slot next.
@@ -116,12 +119,16 @@ def fri_proof_of_work(challenger: Challenger, config: FriConfig) -> np.uint64:
                 h2.reshape(B, 4, 8).copy().view("<u8").reshape(B, 4),
             ], axis=1).astype(np.uint64)
             valid = (words < np.uint64(gl64.ORDER_INT)).all(axis=1)
-            ok = valid & (words[:, 7] < np.uint64(threshold))
+            ok = valid if unbounded else \
+                valid & (words[:, 7] < np.uint64(min(threshold, (1 << 64) - 1)))
         else:
             out = permute(GF.from_u64(states))
             resp = out[:, 7].canonical()
             lo, hi = np.asarray(resp.lo), np.asarray(resp.hi)
-            ok = (hi < thr_hi) | ((hi == thr_hi) & (lo < thr_lo))
+            if unbounded:
+                ok = np.ones(B, dtype=bool)
+            else:
+                ok = (hi < thr_hi) | ((hi == thr_hi) & (lo < thr_lo))
         hits = np.nonzero(ok)[0]
         if hits.size:
             witness = np.uint64(offset + int(hits[0]))

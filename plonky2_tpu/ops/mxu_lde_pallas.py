@@ -21,9 +21,13 @@ matmul), and
   T[t1,i2]   = w_N^{t1*i2}                        (four-step twiddle)
   W2s[t2,i2] = w_{n2}^{t2*i2} * s^{i2}            (coset fold, step 2)
 
-Both matmuls run as balanced-digit bf16 MXU dots exactly like
-ops/mxu_ntt_pallas.py (8 digit planes, 15 bucket recombination, exact
-f32 accumulation: |dot| <= 128*128*n2 <= 2^23 for n2 <= 512).  Per
+Both matmuls run as balanced-digit MXU dots exactly like
+ops/mxu_ntt_pallas.py (8 digit planes, 15 bucket recombination).
+Planes default to int8 — balanced base-256 digits are int8-exact, the
+v5e MXU runs s8xs8->s32 at 2x the bf16 rate, and the s32 accumulation
+is exact for any contraction length here (|acc| <= 128*128*K < 2^31
+for K <= 2^17); bf16 planes (exact f32 accumulation for n2 <= 512)
+remain as a fallback knob (PLONKY2_TPU_LDE_PLANES).  Per
 (polynomial, t1-tile) grid step the kernel streams i2 chunks: step-1
 dot + twiddle into a VMEM-resident A' scratch held in *digit-offset
 form* (value + 0x8080..80, so step 2's plane extraction is shift/mask
@@ -69,17 +73,29 @@ LANES = 128          # TL table width / i2 chunk width
 DEF_TT1 = 512        # t1 rows per grid step
 DEF_TT2 = 128        # t2 columns per step-2 dot chunk
 
+# Digit-plane dtype for the MXU dots.  Balanced base-256 digits live in
+# [-128, 127], so they are exact in BOTH int8 and bf16.  int8 runs the
+# v5e MXU at 2x the bf16 rate with exact int32 accumulation (no f32
+# 2^24 mantissa bound, so no n2 <= 512 exactness restriction either);
+# bf16 is kept as a fallback knob.
+import os as _os
+PLANE_DTYPE = (jnp.bfloat16 if _os.environ.get(
+    "PLONKY2_TPU_LDE_PLANES", "int8") == "bf16" else jnp.int8)
+
 
 # ------------------------------------------------------------- host tables
 
-def matrix_digits(w: np.ndarray) -> np.ndarray:
-    """(M, K) u64 field matrix -> (8, M, K) bf16 balanced digit planes."""
+def matrix_digits(w: np.ndarray, dtype=None) -> np.ndarray:
+    """(M, K) u64 field matrix -> (8, M, K) balanced digit planes."""
+    dtype = PLANE_DTYPE if dtype is None else dtype
     v = gl64.to_canonical(np.asarray(w, np.uint64))
     with np.errstate(over="ignore"):
         y = np.where(v > T_CENTER, v - np.uint64(P), v) + np.uint64(K_OFFSET)
     shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64)).reshape(
         8, *([1] * v.ndim))
     digs = ((y[None] >> shifts) & np.uint64(255)).astype(np.int16) - 128
+    if dtype == jnp.int8:
+        return np.ascontiguousarray(digs.astype(np.int8))
     return np.ascontiguousarray(digs.astype(np.float32)).astype(jnp.bfloat16)
 
 
@@ -93,23 +109,32 @@ def _pow_matrix(base: int, rows: np.ndarray, cols: np.ndarray,
 
 
 def pick_n2(log_n: int, rate_bits: int) -> int:
-    """Largest step-2 size keeping the W2 digit planes VMEM-resident and
-    the f32 accumulation exact (n2 <= 512), subject to n2 | n."""
-    return min(512, 1 << log_n, 1 << ((log_n + rate_bits) // 2))
+    """Step-2 size: 256 measured fastest on v5e (n2=256 does ~20% fewer
+    MACs than 512 at the flagship shape: N*(n/n2 + n2) is minimised near
+    sqrt(n) and 2.31 vs 2.13 G elems/s measured, BASELINE.md), subject to
+    n2 | n, VMEM residency of the W2 planes, and (bf16 fallback) f32
+    exactness n2 <= 512."""
+    return min(256, 1 << log_n, 1 << ((log_n + rate_bits) // 2))
 
 
 @lru_cache(maxsize=16)
-def _lde_tables(log_n: int, rate_bits: int, shift: int, n2: int):
+def _lde_tables(log_n: int, rate_bits: int, shift: int, n2: int,
+                dtype=None):
     """Host-precomputed constants for one (n, rate, shift, n2) shape."""
+    dtype = PLANE_DTYPE if dtype is None else dtype
     n = 1 << log_n
     big_n = n << rate_bits
     n1 = big_n // n2
     n1z = n // n2
     assert n2 <= n and n2 % LANES == 0, (n, n2)
-    # f32 exactness: both dots accumulate |plane products| <= 128*128 per
-    # term, so contraction lengths must stay <= 512 (2^23 < 2^24)
-    assert n2 <= 512 and n1z <= 512, \
-        f"contraction too long for exact f32 accumulation: n2={n2} n1z={n1z}"
+    if dtype == jnp.int8:
+        # int32 accumulation: |acc| <= 128*128*K < 2^31 for K <= 2^17
+        assert n2 <= (1 << 17) and n1z <= (1 << 17), (n2, n1z)
+    else:
+        # f32 exactness: both dots accumulate |plane products| <= 128*128
+        # per term, so contraction lengths must stay <= 512 (2^23 < 2^24)
+        assert n2 <= 512 and n1z <= 512, \
+            f"contraction too long for exact f32 accumulation: n2={n2} n1z={n1z}"
     log_big = log_n + rate_bits
     w_n1 = gl64.primitive_root_of_unity(int(np.log2(n1)))
     w_n2 = gl64.primitive_root_of_unity(int(np.log2(n2)))
@@ -124,13 +149,13 @@ def _lde_tables(log_n: int, rate_bits: int, shift: int, n2: int):
     w1 = _pow_matrix(w_n1, t1, i1, n1)
     s_n2 = pow(shift, n2, P)
     w1 = gl64.mul(w1, gl64.powers(s_n2, n1z)[None, :])
-    w1d = jnp.asarray(matrix_digits(w1))                      # (8, n1, n1z)
+    w1d = matrix_digits(w1, dtype)                            # (8, n1, n1z)
 
     # W2s[t2, i2] = w_n2^(t2*i2) * shift^(i2), digitized TRANSPOSED so the
     # step-2 dot contracts (tt1, n2) x (n2, t2-chunk)
     w2 = _pow_matrix(w_n2, t2, i2, n2)
     w2 = gl64.mul(w2, gl64.powers(shift, n2)[None, :])
-    w2dt = jnp.asarray(matrix_digits(w2.T))                   # (8, n2, n2)
+    w2dt = matrix_digits(w2.T, dtype)                         # (8, n2, n2)
 
     # T[t1, i2] = w_big^(t1*i2) = TH[t1, i2//128] * TL[t1, i2%128]
     th = _pow_matrix(pow(w_big, LANES, P), t1, np.arange(n2 // LANES),
@@ -140,9 +165,16 @@ def _lde_tables(log_n: int, rate_bits: int, shift: int, n2: int):
     # block can tile (1, tt1, 1) — Mosaic requires the last two block dims
     # to divide (8, 128) or equal the array dims, which a (tt1, 1) block on
     # an (n1, n2/128) table violates
-    th_gf = GF.from_u64(np.ascontiguousarray(th.T)[:, :, None])
-    tl_gf = GF.from_u64(tl)
-    return w1d, w2dt, th_gf, tl_gf, n1, n2, n1z
+    # host numpy throughout: this function is lru_cached, and jnp
+    # conversion inside a jit trace would cache TRACERS (constants staged
+    # into whichever trace primed the cache) that escape into later traces
+    def np_limbs(x):
+        x = np.asarray(x, np.uint64)
+        return ((x & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (x >> np.uint64(32)).astype(np.uint32))
+    th_lo, th_hi = np_limbs(np.ascontiguousarray(th.T)[:, :, None])
+    tl_lo, tl_hi = np_limbs(tl)
+    return w1d, w2dt, GF(th_lo, th_hi), GF(tl_lo, tl_hi), n1, n2, n1z
 
 
 # ------------------------------------------------------------ output perms
@@ -179,34 +211,40 @@ def _offset_form(lo, hi):
     return add64(slo, shi, U32(0x80808080), U32(0x80808080))[:2]
 
 
-def _plane(ylo, yhi, e: int):
-    """Digit plane e of offset-form limbs -> bf16."""
+def _plane(ylo, yhi, e: int, dtype=None):
+    """Digit plane e of offset-form limbs -> int8 or bf16."""
+    dtype = PLANE_DTYPE if dtype is None else dtype
     src = ylo if e < 4 else yhi
     k = 8 * (e % 4)
     return (((src >> U32(k)) & U32(255)).astype(jnp.int32) - 128) \
-        .astype(jnp.bfloat16)
+        .astype(dtype)
 
 
 def _digit_dot(wplanes, xlo, xhi, contract_right: bool):
-    """64 digit-pair MXU dots + bucket recombination.
+    """64 digit-pair MXU dots + bucket recombination.  Plane dtype (and
+    hence the MXU mode: int8 x2-rate / int32 acc, or bf16 / f32 acc)
+    follows wplanes.
 
     contract_right=False: wplanes[d] (M, K) @ x (K, TM)   (step 1)
     contract_right=True:  x (TM, K) @ wplanes[d] (K, M)   (step 2)
     """
+    dtype = wplanes[0].dtype
+    acc_t = jnp.int32 if dtype == jnp.int8 else jnp.float32
     ylo, yhi = _offset_form(xlo, xhi)
     buckets = [None] * NUM_BUCKETS
     for e in range(NUM_DIGITS):
-        pe = _plane(ylo, yhi, e)
+        pe = _plane(ylo, yhi, e, dtype)
         for d in range(NUM_DIGITS):
             if contract_right:
                 prod = jax.lax.dot_general(
                     pe, wplanes[d], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=acc_t)
             else:
                 prod = jax.lax.dot_general(
                     wplanes[d], pe, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            prod = prod.astype(jnp.int32)
+                    preferred_element_type=acc_t)
+            if acc_t is not jnp.int32:
+                prod = prod.astype(jnp.int32)
             k = d + e
             buckets[k] = prod if buckets[k] is None else buckets[k] + prod
     return recombine_buckets(buckets)
@@ -233,16 +271,20 @@ def _lde_kernel(w1_ref, w2t_ref, thlo_ref, thhi_ref, tllo_ref, tlhi_ref,
     @pl.when(ii2 == n_i2 - 1)
     def _():
         w2t = w2t_ref[...]                            # (8, n2, n2)
+        dtype = w2t.dtype
+        acc_t = jnp.int32 if dtype == jnp.int8 else jnp.float32
         aylo = aylo_ref[...]
         ayhi = ayhi_ref[...]
         for c0 in range(0, n2, tt2):
             buckets = [None] * NUM_BUCKETS
             for e in range(NUM_DIGITS):
-                pe = _plane(aylo, ayhi, e)            # (tt1, n2) bf16
+                pe = _plane(aylo, ayhi, e, dtype)     # (tt1, n2)
                 for d in range(NUM_DIGITS):
                     prod = jax.lax.dot_general(
                         pe, w2t[d][:, c0:c0 + tt2], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(jnp.int32)
+                        preferred_element_type=acc_t)
+                    if acc_t is not jnp.int32:
+                        prod = prod.astype(jnp.int32)
                     k = d + e
                     buckets[k] = prod if buckets[k] is None \
                         else buckets[k] + prod
@@ -251,9 +293,9 @@ def _lde_kernel(w1_ref, w2t_ref, thlo_ref, thhi_ref, tllo_ref, tlhi_ref,
             out_hi_ref[0, :, c0:c0 + tt2] = ohi
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def mxu_lde(coeffs: GF, rate_bits: int, shift: int = 7, n2: int = 0,
-            tt1: int = DEF_TT1) -> GF:
+            tt1: int = DEF_TT1, plane_dtype=None) -> GF:
     """Coset LDE of (k, n) coefficients -> (k, n1, n2) evaluations in
     (t1, t2) four-step layout (natural index m = t1 + n1*t2; see
     natural_perm_from_mem / leaf_perm_from_mem)."""
@@ -262,7 +304,8 @@ def mxu_lde(coeffs: GF, rate_bits: int, shift: int = 7, n2: int = 0,
     assert 1 << log_n == n
     if n2 == 0:
         n2 = pick_n2(log_n, rate_bits)
-    w1d, w2dt, th, tl, n1, n2, n1z = _lde_tables(log_n, rate_bits, shift, n2)
+    w1d, w2dt, th, tl, n1, n2, n1z = _lde_tables(log_n, rate_bits, shift, n2,
+                                                 plane_dtype)
     tt1 = min(tt1, n1)
     ti2 = LANES
     tt2 = min(DEF_TT2, n2)
@@ -297,14 +340,15 @@ def mxu_lde(coeffs: GF, rate_bits: int, shift: int = 7, n2: int = 0,
 # ------------------------------------------------------------------- twin
 
 def mxu_lde_jnp(coeffs: GF, rate_bits: int, shift: int = 7,
-                n2: int = 0) -> GF:
+                n2: int = 0, plane_dtype=None) -> GF:
     """Pure-jnp twin of the kernel (CPU-testable, same numerics: digit
     bf16 dots + bucket recombination for both steps)."""
     k, n = coeffs.shape
     log_n = int(np.log2(n))
     if n2 == 0:
         n2 = pick_n2(log_n, rate_bits)
-    w1d, w2dt, th, tl, n1, n2, n1z = _lde_tables(log_n, rate_bits, shift, n2)
+    w1d, w2dt, th, tl, n1, n2, n1z = _lde_tables(log_n, rate_bits, shift, n2,
+                                                 plane_dtype)
 
     c3 = coeffs.reshape(k, n1z, n2)
     # step 1: contract i1 -> A[t1, (k, i2)]

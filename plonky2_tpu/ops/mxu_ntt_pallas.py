@@ -49,10 +49,11 @@ TILE_M = 512
 # ------------------------------------------------------------------ digits
 
 def dft_matrix_digits(n1: int, inverse: bool = False,
-                      scale: int = 1) -> np.ndarray:
-    """(8*n1, n1) bf16 balanced digit planes of the DFT matrix
+                      scale: int = 1, dtype=jnp.bfloat16) -> np.ndarray:
+    """(8*n1, n1) balanced digit planes of the DFT matrix
     w[i,j] = scale_row(i) * g^(i*j mod n1) (scale folds the 1/n of an
-    inverse transform in)."""
+    inverse transform in).  dtype int8 runs the MXU at 2x the bf16 rate
+    with exact s32 accumulation (see ops/mxu_lde_pallas.py)."""
     g = gl64.primitive_root_of_unity(int(np.log2(n1)))
     if inverse:
         g = np.uint64(pow(int(g), P - 2, P))
@@ -67,6 +68,8 @@ def dft_matrix_digits(n1: int, inverse: bool = False,
         y = np.where(v > T_CENTER, v - np.uint64(P), v) + np.uint64(K_OFFSET)
     shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64)).reshape(8, 1, 1)
     digs = ((y[None] >> shifts) & np.uint64(255)).astype(np.int16) - 128
+    if dtype == jnp.int8:
+        return np.ascontiguousarray(digs.reshape(8 * n1, n1).astype(np.int8))
     return np.ascontiguousarray(
         digs.reshape(8 * n1, n1).astype(np.float32)).astype(jnp.bfloat16)
 
@@ -160,13 +163,18 @@ def _digits_tile(lo, hi):
 
 
 def _dft_body(w, xlo, xhi, n1: int):
-    xd = _digits_tile(xlo, xhi)                      # 8 x (n1, TM) bf16
+    int8 = w.dtype == jnp.int8
+    xd = _digits_tile(xlo, xhi)                      # 8 x (n1, TM)
+    if int8:
+        xd = [d.astype(jnp.int8) for d in xd]
     buckets = [None] * NUM_BUCKETS
     for e in range(NUM_DIGITS):
         pe = jax.lax.dot_general(
             w, xd[e], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (8*n1, TM)
-        pe = pe.astype(jnp.int32)
+            preferred_element_type=jnp.int32 if int8
+            else jnp.float32)                        # (8*n1, TM)
+        if not int8:
+            pe = pe.astype(jnp.int32)
         for d in range(NUM_DIGITS):
             k = d + e
             blk = pe[d * n1:(d + 1) * n1, :]
@@ -226,13 +234,19 @@ def mxu_dft(wd: jnp.ndarray, x: GF, tile_m: int = TILE_M,
 def mxu_dft_jnp(wd: jnp.ndarray, x: GF) -> GF:
     """Pure-jnp twin of the kernel (CPU-testable)."""
     n1, m = x.shape
+    int8 = wd.dtype == jnp.int8
     xd = balanced_digits(x)
     buckets = [None] * NUM_BUCKETS
     for e in range(NUM_DIGITS):
-        pe = jax.lax.dot_general(
-            wd.astype(jnp.bfloat16), xd[e].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+        if int8:
+            pe = jax.lax.dot_general(
+                wd, xd[e].astype(jnp.int8), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        else:
+            pe = jax.lax.dot_general(
+                wd.astype(jnp.bfloat16), xd[e].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
         for d in range(NUM_DIGITS):
             k = d + e
             blk = pe[d * n1:(d + 1) * n1, :]

@@ -123,12 +123,13 @@ def _mds_roll(lo, hi):
     return reduce128(ZERO32, acc2, acc1, acc0)
 
 
-def _mds_mxu(lo, hi):
+def _mds_mxu(lo, hi, m):
     """MDS as 8 byte-plane MXU dots: x = sum_e d_e*2^(8e) (unsigned bytes,
     exact for any u64 input), so M @ x = sum_e 2^(8e) * (M @ d_e).  Plane
     dots are exact in f32 (<= 12*49*255 < 2^18); shift-add into a 96-bit
-    accumulator, one reduce at the end."""
-    m = jnp.asarray(_MDS_BF16, jnp.bfloat16)
+    accumulator, one reduce at the end.  m: (12, 12) bf16 MDS matrix —
+    passed in (not closed over) so the Pallas kernel can take it as an
+    input rather than a captured constant."""
     acc0 = jnp.zeros_like(lo)
     acc1 = jnp.zeros_like(lo)
     acc2 = jnp.zeros_like(lo)
@@ -156,9 +157,12 @@ def _mds_mxu(lo, hi):
 
 
 def _packed_sbox_row0(lo, hi):
-    """x^7 on state row 0 packed to (8, B/8) so all sublanes work."""
+    """x^7 on state row 0 packed to (8, B/8) so all sublanes work.
+    Packing needs B/8 to stay lane-aligned (Mosaic cannot shape-cast a
+    (1, B) tile to a sub-128-lane (8, B/8)); narrower tiles fall back to
+    the plain one-row S-box."""
     b = lo.shape[1]
-    if b % 8:
+    if b % 8 or (b // 8) % 128:
         s0lo, s0hi = _sbox(lo[0:1, :], hi[0:1, :])
         return s0lo, s0hi
     plo = lo[0:1, :].reshape(8, b // 8)
@@ -167,16 +171,26 @@ def _packed_sbox_row0(lo, hi):
     return slo.reshape(1, b), shi.reshape(1, b)
 
 
-def _rounds(lo, hi, mds_mode: str = "roll"):
-    """All 30 rounds on (12, B) limb arrays, fully unrolled with the round
-    constants baked as (12, 1) immediates.  Plain jnp — runs inside the
-    Pallas kernel on TPU and standalone for CPU testing."""
-    mds = _mds_mxu if mds_mode == "mxu" else _mds_roll
+def _rounds(lo, hi, mds_mode: str = "roll", rc_lo=None, rc_hi=None,
+            mds_m=None):
+    """All 30 rounds on (12, B) limb arrays, fully unrolled.  Round
+    constants come from rc_lo/rc_hi (30, 12) arrays — the Pallas kernel
+    passes its loaded input refs (array constants may not be captured by
+    a TPU kernel), the jnp twin the module tables.  Plain jnp — runs
+    inside the Pallas kernel on TPU and standalone for CPU testing."""
+    if rc_lo is None:
+        rc_lo, rc_hi = jnp.asarray(_RC_LO), jnp.asarray(_RC_HI)
+    if mds_mode == "mxu":
+        if mds_m is None:
+            mds_m = jnp.asarray(_MDS_BF16, jnp.bfloat16)
+        mds = partial(_mds_mxu, m=mds_m)
+    else:
+        mds = _mds_roll
     hf, npart = C.HALF_N_FULL_ROUNDS, C.N_PARTIAL_ROUNDS
 
     def add_rc(lo, hi, r):
-        rl = jnp.asarray(_RC_LO[r][:, None])
-        rh = jnp.asarray(_RC_HI[r][:, None])
+        rl = rc_lo[r][:, None]
+        rh = rc_hi[r][:, None]
         return _fadd(lo, hi, jnp.broadcast_to(rl, lo.shape),
                      jnp.broadcast_to(rh, hi.shape))
 
@@ -197,9 +211,19 @@ def _rounds(lo, hi, mds_mode: str = "roll"):
     return lo, hi
 
 
-def _poseidon_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref, *,
-                     mds_mode: str):
-    lo, hi = _rounds(lo_ref[:], hi_ref[:], mds_mode)
+def _poseidon_kernel(rc_lo_ref, rc_hi_ref, lo_ref, hi_ref,
+                     out_lo_ref, out_hi_ref, *, mds_mode: str):
+    lo, hi = _rounds(lo_ref[:], hi_ref[:], mds_mode,
+                     rc_lo=rc_lo_ref[:], rc_hi=rc_hi_ref[:])
+    out_lo_ref[:] = lo
+    out_hi_ref[:] = hi
+
+
+def _poseidon_kernel_mxu(rc_lo_ref, rc_hi_ref, mds_ref, lo_ref, hi_ref,
+                         out_lo_ref, out_hi_ref):
+    lo, hi = _rounds(lo_ref[:], hi_ref[:], "mxu",
+                     rc_lo=rc_lo_ref[:], rc_hi=rc_hi_ref[:],
+                     mds_m=mds_ref[:])
     out_lo_ref[:] = lo
     out_hi_ref[:] = hi
 
@@ -222,13 +246,26 @@ def permute_cols(lo: jnp.ndarray, hi: jnp.ndarray, tile_b: int = TILE_B,
     grid = (b // tile_b,)
     spec = pl.BlockSpec((WIDTH, tile_b), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
+    rc_spec = pl.BlockSpec((C.N_ROUNDS, WIDTH), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    rc_args = [jnp.asarray(_RC_LO), jnp.asarray(_RC_HI)]
+    if mds_mode == "mxu":
+        kernel = _poseidon_kernel_mxu
+        in_specs = [rc_spec, rc_spec,
+                    pl.BlockSpec((WIDTH, WIDTH), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    spec, spec]
+        rc_args.append(jnp.asarray(_MDS_BF16, jnp.bfloat16))
+    else:
+        kernel = partial(_poseidon_kernel, mds_mode=mds_mode)
+        in_specs = [rc_spec, rc_spec, spec, spec]
     out_lo, out_hi = pl.pallas_call(
-        partial(_poseidon_kernel, mds_mode=mds_mode),
+        kernel,
         grid=grid,
-        in_specs=[spec, spec],
+        in_specs=in_specs,
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct(lo.shape, jnp.uint32),
                    jax.ShapeDtypeStruct(hi.shape, jnp.uint32)],
         interpret=interpret,
-    )(lo, hi)
+    )(*rc_args, lo, hi)
     return out_lo, out_hi

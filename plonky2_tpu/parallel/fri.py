@@ -74,14 +74,79 @@ def _shard_vec(x: GF, mesh, axis: str) -> GF:
     return GF(jax.device_put(x.lo, sh), jax.device_put(x.hi, sh))
 
 
+@partial(jax.jit, static_argnums=())
+def _gather_rows_jit(lo, hi, idx):
+    return lo[idx], hi[idx]
+
+
+def _gather_rows(x: GF, idx: np.ndarray) -> np.ndarray:
+    """Device-side row gather on a (row-)sharded array -> host u64 rows.
+    XLA inserts the cross-device collective; the host receives only the
+    opened rows, never the full array."""
+    lo, hi = _gather_rows_jit(x.lo, x.hi, jnp.asarray(idx, jnp.int32))
+    return np.asarray(lo, np.uint64) | (np.asarray(hi, np.uint64) << np.uint64(32))
+
+
+class ShardedMerkleTree:
+    """Commit-phase Merkle tree whose leaves and lower digest levels stay
+    sharded on the mesh (reference fri/prover.rs:160-216 reads openings out
+    of host Vecs; here the codeword never leaves the devices — the host
+    sees num_queries * depth digests, not 2^n rows).
+
+    Drop-in for hash.merkle.MerkleTree in the query phase: same cap /
+    cap_height / prove(i) / get_leaf(i) surface, plus a batched open()
+    that fetches all query rows of every level with one gather each.
+    """
+
+    def __init__(self, cap_height: int, leaf_len: int, leaves: GF,
+                 levels, top_levels_np, cap_np: np.ndarray):
+        self.cap_height = cap_height
+        self.leaf_len = leaf_len
+        self._leaves = leaves          # GF (n, leaf_len), rows sharded
+        self._levels = list(levels)    # [GF (n_l, 4) sharded], leaf digests up
+        # host levels STRICTLY ABOVE the sharded ones (cap last, if any)
+        self._top = list(top_levels_np)
+        self.cap = MerkleCap(np.asarray(cap_np, np.uint64))
+        # sibling path stops below the cap
+        self.depth = len(self._levels) - 1 + len(self._top)
+        self.num_leaves = leaves.shape[0]
+
+    def open(self, indices: np.ndarray):
+        """(q,) leaf indices -> (leaves (q, leaf_len), sibs (q, depth, 4))."""
+        idx = np.asarray(indices, np.int64)
+        leaves = _gather_rows(self._leaves, idx)
+        depth = self.depth
+        sibs = np.empty((idx.size, depth, 4), dtype=np.uint64)
+        for lvl in range(depth):
+            rows = (idx >> lvl) ^ 1
+            nloc = len(self._levels)
+            if lvl < nloc:
+                sibs[:, lvl] = _gather_rows(self._levels[lvl], rows)
+            else:
+                sibs[:, lvl] = self._top[lvl - nloc][rows]
+        return leaves, sibs
+
+    # ---- single-index MerkleTree compatibility (tests, serialization)
+    def prove(self, leaf_index: int):
+        from ..hash.merkle import MerkleProof
+        _, sibs = self.open(np.array([leaf_index]))
+        return MerkleProof(sibs[0])
+
+    def get_leaf(self, leaf_index: int) -> np.ndarray:
+        return _gather_rows(self._leaves, np.array([leaf_index]))[0]
+
+
 def sharded_fri_committed_trees(values: GF2, challenger: Challenger,
-                                fri_params, mesh, axis: str = "d"):
+                                fri_params, mesh, axis: str = "d",
+                                device_trees: bool = False):
     """Distributed commit phase, bit-identical to fri_committed_trees.
 
     values: (n,) extension values of the composition polynomial over the
     shifted LDE coset, NATURAL order (host or single-device).  Returns
-    (trees, final_coeffs) exactly like the single-chip version — trees are
-    host MerkleTree objects (levels gathered) ready for query extraction.
+    (trees, final_coeffs) exactly like the single-chip version.
+    device_trees=False gathers full host MerkleTree objects;
+    device_trees=True returns ShardedMerkleTrees whose leaves/levels stay
+    on the mesh — query openings then move only the opened rows.
     """
     nd = mesh.devices.size
     n = values.shape[0]
@@ -125,25 +190,41 @@ def sharded_fri_committed_trees(values: GF2, challenger: Challenger,
         cap_gf, leaves, levels = commit(blk)
         cap = np.asarray(cap_gf.to_u64())
 
-        # assemble a host MerkleTree for query-path extraction: the gathered
-        # per-device level stacks ARE the global levels (row-contiguous
-        # sharding), plus top levels recomputed on host from the gathered
-        # one (they are replicated in `roots` but only the cap was returned)
-        tree = object.__new__(MerkleTree)
-        tree.cap_height = cap_height
-        tree.leaf_len = 2 * arity
-        tree.leaves_np = np.asarray(leaves.to_u64())
-        host_levels = [np.asarray(l.to_u64()) for l in levels]
         from ..hash.hashing import compress_np
-        cur = host_levels[-1]
-        for _ in range(top_levels):
-            cur = compress_np(cur[0::2], cur[1::2])
-            host_levels.append(cur)
-        tree.levels = host_levels
-        tree.cap = MerkleCap(host_levels[-1])
-        assert np.array_equal(gl64.to_canonical(tree.cap.data),
-                              gl64.to_canonical(cap))
-        trees.append(tree)
+        if device_trees:
+            # leaves + local levels stay sharded; only the tiny levels
+            # above them are recomputed on host from the gathered last
+            # local level (size <= nd * 2^cap_height rows)
+            top = []
+            cur = np.asarray(levels[-1].to_u64())
+            for _ in range(top_levels):
+                cur = compress_np(cur[0::2], cur[1::2])
+                top.append(cur)
+            tree = ShardedMerkleTree(cap_height, 2 * arity, leaves,
+                                     levels, top, cap)
+            assert np.array_equal(gl64.to_canonical(tree.cap.data),
+                                  gl64.to_canonical(cap))
+            trees.append(tree)
+        else:
+            # assemble a host MerkleTree for query-path extraction: the
+            # gathered per-device level stacks ARE the global levels
+            # (row-contiguous sharding), plus top levels recomputed on host
+            # from the gathered one (they are replicated in `roots` but
+            # only the cap was returned)
+            tree = object.__new__(MerkleTree)
+            tree.cap_height = cap_height
+            tree.leaf_len = 2 * arity
+            tree.leaves_np = np.asarray(leaves.to_u64())
+            host_levels = [np.asarray(l.to_u64()) for l in levels]
+            cur = host_levels[-1]
+            for _ in range(top_levels):
+                cur = compress_np(cur[0::2], cur[1::2])
+                host_levels.append(cur)
+            tree.levels = host_levels
+            tree.cap = MerkleCap(host_levels[-1])
+            assert np.array_equal(gl64.to_canonical(tree.cap.data),
+                                  gl64.to_canonical(cap))
+            trees.append(tree)
 
         challenger.observe_cap(tree.cap)
         beta_np = challenger.get_extension_challenge()
@@ -195,3 +276,72 @@ def sharded_fri_committed_trees(values: GF2, challenger: Challenger,
     for c in final_coeffs:
         challenger.observe_extension_element(c)
     return trees, final_coeffs
+
+
+# -------------------------------------------------------------- query phase
+
+def _batch_open(tree, idx: np.ndarray):
+    """(leaves (q, leaf_len), sibs (q, depth, 4)) for a ShardedMerkleTree
+    (device gathers) or a host MerkleTree (numpy indexing)."""
+    idx = np.asarray(idx, np.int64)
+    if isinstance(tree, ShardedMerkleTree):
+        return tree.open(idx)
+    leaves = tree.leaves_np[idx]
+    depth = len(tree.levels) - 1
+    sibs = np.empty((idx.size, depth, 4), np.uint64)
+    for lvl in range(depth):
+        sibs[:, lvl] = tree.levels[lvl][(idx >> lvl) ^ 1]
+    return leaves, sibs
+
+
+def sharded_fri_proof(initial_merkle_trees: list, values: GF2,
+                      challenger: Challenger, fri_params, mesh,
+                      axis: str = "d"):
+    """Distributed FRI proof: sharded commit phase + device-resident query
+    extraction.  Bit-identical to fri/prover.py fri_proof (same transcript,
+    caps, openings) — reference fri/prover.rs:20-216 — but the codeword and
+    every folded layer stay sharded; the host receives only the
+    num_query_rounds opened rows of each level.
+
+    initial_merkle_trees may mix host MerkleTrees and ShardedMerkleTrees.
+    """
+    from ..fri.proof import (FriInitialTreeProof, FriProof, FriQueryRound,
+                             FriQueryStep)
+    from ..fri.prover import fri_proof_of_work
+    from ..hash.merkle import MerkleProof
+
+    n = values.shape[0]
+    trees, final_coeffs = sharded_fri_committed_trees(
+        values, challenger, fri_params, mesh, axis, device_trees=True)
+    pow_witness = fri_proof_of_work(challenger, fri_params.config)
+
+    nq = fri_params.config.num_query_rounds
+    x_indices = np.array([int(challenger.get_challenge()) % n
+                          for _ in range(nq)], dtype=np.int64)
+
+    # batched extraction: ONE open() per tree for all query rounds
+    initial_opens = [_batch_open(t, x_indices) for t in initial_merkle_trees]
+    step_opens = []
+    idx = x_indices
+    for i, tree in enumerate(trees):
+        idx = idx >> fri_params.reduction_arity_bits[i]
+        step_opens.append(_batch_open(tree, idx))
+
+    rounds = []
+    for q in range(nq):
+        initial_proof = [
+            (leaves[q].copy(), MerkleProof(sibs[q]))
+            for leaves, sibs in initial_opens
+        ]
+        steps = []
+        for i, (leaves, sibs) in enumerate(step_opens):
+            evals = leaves[q].reshape(-1, 2)
+            steps.append(FriQueryStep(evals, MerkleProof(sibs[q])))
+        rounds.append(FriQueryRound(FriInitialTreeProof(initial_proof), steps))
+
+    return FriProof(
+        commit_phase_merkle_caps=[t.cap for t in trees],
+        query_round_proofs=rounds,
+        final_poly=final_coeffs,
+        pow_witness=pow_witness,
+    )

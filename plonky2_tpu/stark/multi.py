@@ -29,7 +29,7 @@ from ..fri.structure import (FriBatchInfo, FriInstanceInfo, FriOpeningBatch,
 from ..fri.verifier import fri_challenges, verify_fri_proof
 from ..field import gl64ext
 from ..field.gl64ext import E2
-from ..iop.challenger import Challenger
+from ..iop.challenger import Challenger, permutation_for
 from ..plonk.gates.base import BaseBatchCtx, ExtCtx
 from ..utils.bits import log2_strict
 from ..utils.timing import TimingTree
@@ -155,10 +155,10 @@ def prove_multi_table(starks: list, ctls: list, config: StarkConfig,
         else:
             trace_commitments = [
                 PolynomialBatch.from_values(GF.from_u64(t), rate_bits, False,
-                                            cap_height)
+                                            cap_height, hasher=config.hasher)
                 for t in trace_poly_values]
 
-    challenger = Challenger()
+    challenger = Challenger(permutation_for(config.hasher))
     for c in trace_commitments:
         challenger.observe_cap(c.merkle_tree.cap)
 
@@ -212,7 +212,8 @@ def prove_single_table(stark: Stark, config: StarkConfig,
     assert len(ctl_data) > 0, "no CTL Zs for this table"
     z_polys = np.concatenate([perm_z_polys, ctl_data.z_polys()], axis=0)
     zs_commitment = PolynomialBatch.from_values(
-        GF.from_u64(z_polys), rate_bits, False, cap_height)
+        GF.from_u64(z_polys), rate_bits, False, cap_height,
+        hasher=config.hasher)
     challenger.observe_cap(zs_commitment.merkle_tree.cap)
 
     alphas = challenger.get_n_challenges(config.num_challenges)
@@ -220,7 +221,8 @@ def prove_single_table(stark: Stark, config: StarkConfig,
         stark, trace_commitment, zs_commitment, public_inputs, alphas,
         degree_bits, config, num_perm_zs, ctl_data, challenge_sets)
     quotient_commitment = PolynomialBatch.from_coeffs(
-        quotient_chunks, rate_bits, False, cap_height)
+        quotient_chunks, rate_bits, False, cap_height,
+        hasher=config.hasher)
     challenger.observe_cap(quotient_commitment.merkle_tree.cap)
 
     zeta_np = challenger.get_extension_challenge()
@@ -337,7 +339,7 @@ def _compute_quotient_polys_ctl(stark: Stark, trace_commitment,
 def _get_challenges_multi(starks: list, proof: MultiProof,
                           config: StarkConfig) -> tuple:
     """Replay the shared transcript (evm/src/get_challenges.rs:18)."""
-    challenger = Challenger()
+    challenger = Challenger(permutation_for(config.hasher))
     for p in proof.stark_proofs:
         challenger.observe_cap(p.trace_cap)
     ctl_challenges = get_grand_product_challenge_set(

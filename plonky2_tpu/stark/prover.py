@@ -13,7 +13,7 @@ from ..field.extension import GF2
 from ..field.goldilocks import GF, batch_inv
 from ..field.polynomial import eval_polys_at_ext, powers_ext
 from ..fri.oracle import COSET_SHIFT, PolynomialBatch
-from ..iop.challenger import Challenger
+from ..iop.challenger import Challenger, permutation_for
 from ..plonk.gates.base import BaseBatchCtx
 from ..utils.bits import log2_strict
 from .config import StarkConfig
@@ -41,8 +41,9 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
 
     if trace_commitment is None:
         trace_commitment = PolynomialBatch.from_values(
-            trace_poly_values, rate_bits, False, cap_height)
-    challenger = Challenger()
+            trace_poly_values, rate_bits, False, cap_height,
+            hasher=config.hasher)
+    challenger = Challenger(permutation_for(config.hasher))
     challenger.observe_cap(trace_commitment.merkle_tree.cap)
 
     # permutation arguments (starky/src/prover.rs:75-112)
@@ -56,7 +57,8 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
         z_polys = compute_permutation_z_polys(
             stark, config, trace_poly_values.to_u64(), challenge_sets)
         perm_zs_commitment = PolynomialBatch.from_values(
-            GF.from_u64(z_polys), rate_bits, False, cap_height)
+            GF.from_u64(z_polys), rate_bits, False, cap_height,
+            hasher=config.hasher)
         challenger.observe_cap(perm_zs_commitment.merkle_tree.cap)
 
     alphas = challenger.get_n_challenges(config.num_challenges)
@@ -65,7 +67,8 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
         stark, trace_commitment, public_inputs, alphas, degree_bits, config,
         perm_zs_commitment, challenge_sets)
     quotient_commitment = PolynomialBatch.from_coeffs(
-        quotient_chunks, rate_bits, False, cap_height)
+        quotient_chunks, rate_bits, False, cap_height,
+        hasher=config.hasher)
     challenger.observe_cap(quotient_commitment.merkle_tree.cap)
 
     zeta_np = challenger.get_extension_challenge()

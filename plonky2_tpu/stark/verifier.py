@@ -8,7 +8,7 @@ import numpy as np
 from ..field import gl64
 from ..field.gl64ext import E2
 from ..fri.verifier import fri_challenges, verify_fri_proof
-from ..iop.challenger import Challenger
+from ..iop.challenger import Challenger, permutation_for
 from ..plonk.gates.base import ExtCtx
 from .config import StarkConfig
 from .proof import StarkProofChallenges, StarkProofWithPublicInputs
@@ -20,7 +20,7 @@ P = gl64.ORDER_INT
 def get_challenges(stark: Stark, proof_with_pis: StarkProofWithPublicInputs,
                    config: StarkConfig, degree_bits: int) -> StarkProofChallenges:
     proof = proof_with_pis.proof
-    challenger = Challenger()
+    challenger = Challenger(permutation_for(config.hasher))
     challenger.observe_cap(proof.trace_cap)
     challenge_sets = None
     if stark.uses_permutation_args():

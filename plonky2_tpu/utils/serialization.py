@@ -281,7 +281,11 @@ def write_fri_proof_sd(buf: Buffer, fp: FriProof):
 
 
 def read_fri_proof_sd(buf: Buffer) -> FriProof:
-    caps = [MerkleCap(buf.read_hash_vec()) for _ in range(buf.read_usize())]
+    if buf.digest_bytes:
+        from ..hash.keccak_tree import BytesMerkleCap as _Cap
+    else:
+        _Cap = MerkleCap
+    caps = [_Cap(buf.read_hash_vec()) for _ in range(buf.read_usize())]
     rounds = []
     for _ in range(buf.read_usize()):
         evals_proofs = []

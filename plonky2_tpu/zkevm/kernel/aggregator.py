@@ -72,6 +72,9 @@ SYSCALL_ROUTES = {
     0x00: "sys_stop", 0x0A: "sys_exp", 0x20: "sys_keccak256",
     0x51: "sys_mload", 0x52: "sys_mstore", 0x53: "sys_mstore8",
     0x5A: "sys_gas",
+    # signed arithmetic (kernel/asm/signed.asm, reference asm/signed.asm)
+    0x05: "sys_sdiv", 0x07: "sys_smod", 0x0B: "sys_signextend",
+    0x12: "sys_slt", 0x13: "sys_sgt", 0x1D: "sys_sar",
 }
 # user opcodes that grow the stack via their syscall handler (GAS); the
 # simulator traps EXC_STACK_OVERFLOW for these before syscall dispatch
@@ -81,8 +84,8 @@ EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
               "exc_invalid_jumpi", "exc_stack_overflow", "panic", "panic")
 
 ASM_DIR = Path(__file__).parent / "asm"
-CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "memory.asm",
-              "rlp.asm", "mpt.asm", "mpt_ops.asm", "txn.asm")
+CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "signed.asm",
+              "memory.asm", "rlp.asm", "mpt.asm", "mpt_ops.asm", "txn.asm")
 
 
 def user_opcode_is_valid(opcode: int) -> bool:

@@ -32,6 +32,9 @@ MNEMONICS: dict = {op.name.upper(): op.opcode for op in NATIVE_OPS}
 MNEMONICS.update({
     "HALT": 0x00, "STOP": 0x00, "KECCAK256": 0x20, "EXP": 0x0A,
     "MLOAD": 0x51, "MSTORE": 0x52, "MSTORE8": 0x53, "GAS": 0x5A,
+    # signed-arithmetic syscalls (kernel/asm/signed.asm)
+    "SDIV": 0x05, "SMOD": 0x07, "SIGNEXTEND": 0x0B,
+    "SLT": 0x12, "SGT": 0x13, "SAR": 0x1D,
 })
 for _i in range(16):
     MNEMONICS[f"DUP{_i + 1}"] = 0x80 + _i

@@ -50,10 +50,14 @@ def write_multi_stark_proof(buf: Buffer, p: MultiTableStarkProof) -> None:
 
 
 def read_multi_stark_proof(buf: Buffer) -> MultiTableStarkProof:
+    if buf.digest_bytes:
+        from ..hash.keccak_tree import BytesMerkleCap as _Cap
+    else:
+        _Cap = MerkleCap
     degree_bits = buf.read_usize()
-    trace_cap = MerkleCap(buf.read_hash_vec())
-    zs_cap = MerkleCap(buf.read_hash_vec())
-    quot_cap = MerkleCap(buf.read_hash_vec())
+    trace_cap = _Cap(buf.read_hash_vec())
+    zs_cap = _Cap(buf.read_hash_vec())
+    quot_cap = _Cap(buf.read_hash_vec())
     local_values = _read_ext_matrix(buf)
     next_values = _read_ext_matrix(buf)
     zs = _read_ext_matrix(buf)
@@ -76,7 +80,7 @@ def read_multi_stark_proof(buf: Buffer) -> MultiTableStarkProof:
         init_challenger_state=init_state)
 
 
-def multi_proof_to_bytes(proof: MultiProof) -> bytes:
+def multi_proof_to_bytes(proof: MultiProof, hasher: str = "poseidon") -> bytes:
     buf = Buffer()
     buf.write_usize(len(proof.stark_proofs))
     for p in proof.stark_proofs:
@@ -84,7 +88,10 @@ def multi_proof_to_bytes(proof: MultiProof) -> bytes:
     return buf.bytes()
 
 
-def multi_proof_from_bytes(data: bytes) -> MultiProof:
+def multi_proof_from_bytes(data: bytes,
+                           hasher: str = "poseidon") -> MultiProof:
+    from ..utils.serialization import _digest_bytes_for
     buf = Buffer(data)
+    buf.digest_bytes = _digest_bytes_for(hasher)
     n = buf.read_usize()
     return MultiProof([read_multi_stark_proof(buf) for _ in range(n)])

@@ -193,3 +193,23 @@ def test_multi_table_verifier_rejects_tampered_ctl_z():
         proof.stark_proofs[0].openings.ctl_zs_last[0], np.uint64(1))
     with pytest.raises(AssertionError):
         verify_multi_table(starks, _ctls(), proof, config)
+
+
+def test_multi_table_keccak_config_prove_verify_roundtrip():
+    """Keccak-committed multi-table pipeline (KeccakGoldilocksConfig at the
+    starky/evm level, plonk/config.rs:72): prove, verify, and byte
+    round-trip with byte-digest caps."""
+    from plonky2_tpu.zkevm.serialization import (multi_proof_from_bytes,
+                                                 multi_proof_to_bytes)
+
+    mul = _mul_trace()
+    req1, req2 = _req_traces(mul)
+    starks = [MulStark(), ReqStark(), Req2Stark()]
+    config = StarkConfig.standard_keccak_config()
+    proof = prove_multi_table(starks, _ctls(), config, [mul, req1, req2])
+    verify_multi_table(starks, _ctls(), proof, config)
+
+    data = multi_proof_to_bytes(proof, hasher="keccak")
+    proof2 = multi_proof_from_bytes(data, hasher="keccak")
+    verify_multi_table(starks, _ctls(), proof2, config)
+    assert multi_proof_to_bytes(proof2, hasher="keccak") == data

@@ -86,3 +86,52 @@ def test_sharded_fri_single_round_mixed_arity():
     assert np.array_equal(gl64.to_canonical(np.asarray(fc1, np.uint64)),
                           gl64.to_canonical(np.asarray(fc2, np.uint64)))
     assert np.array_equal(c1.compact(), c2.compact())
+
+
+def test_sharded_fri_proof_device_trees_bit_identical():
+    """Full sharded FRI (device-resident trees + batched query extraction)
+    produces the exact FriProof of the single-chip prover."""
+    from plonky2_tpu.fri.prover import fri_proof
+    from plonky2_tpu.hash.merkle import MerkleTree
+    from plonky2_tpu.parallel.fri import sharded_fri_proof
+
+    rng = np.random.default_rng(3)
+    degree_bits = 6
+    params = _params(degree_bits, [2, 1])
+    lde_coeffs, values = _lde_codeword(rng, degree_bits, 3)
+
+    # a small "oracle" initial tree over arbitrary leaves
+    leaves = GF.from_u64(rng.integers(
+        0, gl64.ORDER_INT, size=(values.shape[0], 3), dtype=np.uint64))
+    init1 = MerkleTree(leaves, cap_height=2)
+    init2 = MerkleTree(leaves, cap_height=2)
+
+    c1 = Challenger()
+    c1.observe_element(5)
+    p1 = fri_proof([init1], lde_coeffs, values, c1, params)
+
+    c2 = Challenger()
+    c2.observe_element(5)
+    p2 = sharded_fri_proof([init2], values, c2, params, make_mesh(8))
+
+    assert np.array_equal(c1.compact(), c2.compact())
+    assert p1.pow_witness == p2.pow_witness
+    assert np.array_equal(gl64.to_canonical(np.asarray(p1.final_poly)),
+                          gl64.to_canonical(np.asarray(p2.final_poly)))
+    assert len(p1.commit_phase_merkle_caps) == len(p2.commit_phase_merkle_caps)
+    for cap1, cap2 in zip(p1.commit_phase_merkle_caps,
+                          p2.commit_phase_merkle_caps):
+        assert np.array_equal(gl64.to_canonical(cap1.data),
+                              gl64.to_canonical(cap2.data))
+    for r1, r2 in zip(p1.query_round_proofs, p2.query_round_proofs):
+        for (l1, pr1), (l2, pr2) in zip(r1.initial_trees_proof.evals_proofs,
+                                        r2.initial_trees_proof.evals_proofs):
+            assert np.array_equal(gl64.to_canonical(l1),
+                                  gl64.to_canonical(l2))
+            assert np.array_equal(gl64.to_canonical(pr1.siblings),
+                                  gl64.to_canonical(pr2.siblings))
+        for s1, s2 in zip(r1.steps, r2.steps):
+            assert np.array_equal(gl64.to_canonical(s1.evals),
+                                  gl64.to_canonical(s2.evals))
+            assert np.array_equal(gl64.to_canonical(s1.merkle_proof.siblings),
+                                  gl64.to_canonical(s2.merkle_proof.siblings))

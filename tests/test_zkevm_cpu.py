@@ -453,3 +453,57 @@ global main:
                      global_values={GLOBAL_BLOCK_GASLIMIT: 5})
     sim2.run()
     assert sim2.exc_status == 0
+
+
+def test_signed_arithmetic_syscalls():
+    """SDIV/SMOD/SIGNEXTEND/SLT/SGT/SAR via kernel/asm/signed.asm
+    (reference cpu/kernel/asm/signed.asm), interpreter-checked against
+    Python two's-complement semantics."""
+    M = 1 << 256
+
+    def s2u(v):
+        return v % M
+
+    def u2s(v):
+        return v - M if v >> 255 else v
+
+    cases = []
+    vals = [0, 1, 2, 7, -1, -2, -7, (1 << 255) - 1, -(1 << 255), 100, -100]
+    for a in vals:
+        for b in [0, 1, 3, -1, -3, 7, -7]:
+            cases.append(("SDIV", a, b,
+                          0 if b == 0 else s2u((abs(a) // abs(b))
+                                               * (-1 if (a < 0) != (b < 0)
+                                                  else 1))))
+            cases.append(("SMOD", a, b,
+                          0 if b == 0 else s2u((abs(a) % abs(b))
+                                               * (-1 if a < 0 else 1))))
+            cases.append(("SLT", a, b, int(a < b)))
+            cases.append(("SGT", a, b, int(a > b)))
+    for d in [0, 1, 8, 255, 256, 300]:
+        for x in [5, -5, 1 << 255, (1 << 256) - 1]:
+            xs = u2s(s2u(x))
+            cases.append(("SAR", d, x, s2u(xs >> d if d < 256
+                                           else (0 if xs >= 0 else -1))))
+    for k in [0, 1, 15, 30, 31, 200]:
+        for x in [0x7F, 0x80, 0xFF80, 0x1234, (1 << 256) - 1]:
+            if k > 30:
+                exp = s2u(x)
+            else:
+                t = 8 * (k + 1)
+                xl = x & ((1 << t) - 1)
+                exp = xl | ((((M - 1) >> t) << t)
+                            if (x >> (t - 1)) & 1 else 0)
+            cases.append(("SIGNEXTEND", k, x, exp))
+
+    for name, top, second, expect in cases:
+        sim = run(f"""
+global user_main:
+    PUSH {s2u(second)}
+    PUSH {s2u(top)}
+    {name}
+    STOP
+""", max_cycles=20000)
+        got = sim.final_stack[-1]
+        assert got == expect, (name, hex(s2u(top)), hex(s2u(second)),
+                               hex(got), hex(expect))

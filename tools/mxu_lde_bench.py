@@ -54,12 +54,12 @@ def radix_chain(seed, reps: int):
     return out.lo.sum() + out.hi.sum()
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def mxu_chain(seed, reps: int, n2: int, tt1: int):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def mxu_chain(seed, reps: int, n2: int, tt1: int, dt=None):
     coeffs = _seed_coeffs(seed)
 
     def body(i, c):
-        out = M.mxu_lde(c, RATE_BITS, 7, n2, tt1)  # (k, n1, n2)
+        out = M.mxu_lde(c, RATE_BITS, 7, n2, tt1, dt)  # (k, n1, n2)
         lo = out.lo.reshape(BATCH, BIG_N)
         hi = out.hi.reshape(BATCH, BIG_N)
         return GF(lo[..., :N], hi[..., :N] + jnp.uint32(1))
@@ -92,25 +92,27 @@ def main():
     print(f"radix-8   : {ms:7.2f} ms/LDE  "
           f"{BATCH * BIG_N * reps / dt / 1e9:5.2f} G elems/s", flush=True)
 
-    for n2 in (512, 256):
-        for tt1 in (512, 256):
-            n1 = BIG_N // n2
-            if tt1 > n1:
-                continue
-            try:
-                got = M.mxu_lde(c, RATE_BITS, 7, n2, tt1)
-                mem = got.to_u64().reshape(2, BIG_N)
-                nat = mem[:, M.natural_perm_from_mem(LOG_N, RATE_BITS, n2)]
-                ok = np.array_equal(gl64.to_canonical(nat),
-                                    gl64.to_canonical(ref))
-                dt = timed(mxu_chain, reps, n2, tt1)
-                ms = dt / reps * 1e3
-                print(f"mxu n2={n2:4d} tt1={tt1:4d}: {ms:7.2f} ms/LDE  "
-                      f"{BATCH * BIG_N * reps / dt / 1e9:5.2f} G elems/s  "
-                      f"{'OK' if ok else 'MISMATCH!'}", flush=True)
-            except Exception as e:
-                print(f"mxu n2={n2} tt1={tt1}: FAILED {type(e).__name__}: "
-                      f"{str(e)[:200]}", flush=True)
+    for pd in (jnp.int8, jnp.bfloat16):
+        for n2 in (512, 256):
+            for tt1 in (512, 256):
+                n1 = BIG_N // n2
+                if tt1 > n1:
+                    continue
+                try:
+                    got = M.mxu_lde(c, RATE_BITS, 7, n2, tt1, pd)
+                    mem = got.to_u64().reshape(2, BIG_N)
+                    nat = mem[:, M.natural_perm_from_mem(LOG_N, RATE_BITS, n2)]
+                    ok = np.array_equal(gl64.to_canonical(nat),
+                                        gl64.to_canonical(ref))
+                    dt = timed(mxu_chain, reps, n2, tt1, pd)
+                    ms = dt / reps * 1e3
+                    print(f"mxu {pd.__name__:8s} n2={n2:4d} tt1={tt1:4d}: "
+                          f"{ms:7.2f} ms/LDE  "
+                          f"{BATCH * BIG_N * reps / dt / 1e9:5.2f} G elems/s  "
+                          f"{'OK' if ok else 'MISMATCH!'}", flush=True)
+                except Exception as e:
+                    print(f"mxu {pd.__name__} n2={n2} tt1={tt1}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
