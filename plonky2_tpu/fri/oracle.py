@@ -61,6 +61,28 @@ def _use_mxu_lde(n: int, rate_bits: int) -> bool:
     return impl in ("mxu", "auto")
 
 
+def batch_opening_quotient(comp: GF2, point: np.ndarray, n: int,
+                           subgroup: GF) -> GF2:
+    """Coefficients of (F(X) - F(z)) / (X - z) for one opening batch.
+
+    Value-domain division over the coset gH — NOT H itself, since opening
+    points may lie in H (the CTL batches open Z columns at g^{n-1};
+    evm/src/stark.rs:83).  Shared by the single-chip prove_openings and
+    the distributed prover (parallel/stark_prover.py)."""
+    z = GF2.from_u64_pair(point[0], point[1])
+    comp_vals = ntt.coset_ntt_ext(comp, COSET_SHIFT)
+    fz = eval_ext_polys_at_ext(comp, powers_ext(z, n))
+    num = comp_vals - fz.broadcast_to((n,))
+    # 1/(x - z) for base x: conj/norm with one base batch inversion
+    xa = subgroup * GF.full((), COSET_SHIFT) - z.a.broadcast_to((n,))
+    zb = z.b.broadcast_to((n,))
+    norm = xa.square() - zb.square().mul_small(7)
+    ninv = batch_inv(norm)
+    den_inv = GF2(xa * ninv, zb * ninv)  # (x-za, -(-zb)) -> conj has +zb
+    quotient_vals = num * den_inv
+    return ntt.coset_intt_ext(quotient_vals, COSET_SHIFT)
+
+
 class PolynomialBatch:
     """A batch of committed polynomials (coefficients on device + Merkle tree)."""
 
@@ -178,21 +200,7 @@ class PolynomialBatch:
                  for p in batch.polynomials], axis=0)  # (k, n)
             comp = GF2((polys * apow.a.reshape(-1, 1)).sum(axis=0),
                        (polys * apow.b.reshape(-1, 1)).sum(axis=0))
-            # value-domain division by (X - z) over the coset gH — NOT H
-            # itself, since opening points may lie in H (the CTL batches
-            # open Z columns at g^{n-1}; evm/src/stark.rs:83)
-            z = GF2.from_u64_pair(batch.point[0], batch.point[1])
-            comp_vals = ntt.coset_ntt_ext(comp, COSET_SHIFT)
-            fz = eval_ext_polys_at_ext(comp, powers_ext(z, n))
-            num = comp_vals - fz.broadcast_to((n,))
-            # 1/(x - z) for base x: conj/norm with one base batch inversion
-            xa = subgroup * GF.full((), COSET_SHIFT) - z.a.broadcast_to((n,))
-            zb = z.b.broadcast_to((n,))
-            norm = xa.square() - zb.square().mul_small(7)
-            ninv = batch_inv(norm)
-            den_inv = GF2(xa * ninv, zb * ninv)  # (x-za, -(-zb)) -> conj has +zb
-            quotient_vals = num * den_inv
-            quotient = ntt.coset_intt_ext(quotient_vals, COSET_SHIFT)
+            quotient = batch_opening_quotient(comp, batch.point, n, subgroup)
             if final_poly is None:
                 final_poly = quotient
             else:

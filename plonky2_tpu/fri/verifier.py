@@ -101,12 +101,15 @@ def compute_evaluation(x: np.uint64, x_index_within_coset: int, arity_bits: int,
 def verify_fri_proof(instance: FriInstanceInfo, openings: FriOpenings,
                      challenges: FriChallenges, initial_merkle_caps: list,
                      proof: FriProof, params: FriParams) -> None:
-    """Raises AssertionError on any failure (reference fri/verifier.rs:61)."""
+    """Raises AssertionError on any failure (reference fri/verifier.rs:61);
+    a structurally malformed proof raises ShapeError first
+    (fri/validate_shape.py, reference fri/validate_shape.rs:11)."""
+    from .validate_shape import validate_fri_proof_shape
+    validate_fri_proof_shape(proof, instance, params)
     n = params.lde_size()
     # PoW
     assert int(challenges.fri_pow_response) < (1 << (64 - params.config.proof_of_work_bits)), \
         "Invalid proof of work witness"
-    assert params.config.num_query_rounds == len(proof.query_round_proofs)
 
     reduced = precompute_reduced_openings(openings, challenges.fri_alpha)
     for x_index, round_proof in zip(challenges.fri_query_indices,

@@ -82,9 +82,12 @@ def _gather_rows_jit(lo, hi, idx):
 def _gather_rows(x: GF, idx: np.ndarray) -> np.ndarray:
     """Device-side row gather on a (row-)sharded array -> host u64 rows.
     XLA inserts the cross-device collective; the host receives only the
-    opened rows, never the full array."""
+    opened rows, never the full array.  Canonicalised: proof bytes must
+    not depend on which (value-equal) limb representative the device
+    computation happened to leave behind."""
     lo, hi = _gather_rows_jit(x.lo, x.hi, jnp.asarray(idx, jnp.int32))
-    return np.asarray(lo, np.uint64) | (np.asarray(hi, np.uint64) << np.uint64(32))
+    raw = np.asarray(lo, np.uint64) | (np.asarray(hi, np.uint64) << np.uint64(32))
+    return gl64.to_canonical(raw)
 
 
 class ShardedMerkleTree:

@@ -101,14 +101,17 @@ def _next_with_halo(blk: GF, next_step: int, axis: str) -> GF:
 def sharded_stark_quotient_values(stark, trace_lde: GF, xs: np.ndarray,
                                   alphas, degree_bits: int, qdb: int,
                                   mesh, axis: str = "d",
-                                  public_inputs=()) -> GF:
+                                  public_inputs=(), perm_lde: GF = None,
+                                  challenge_sets=None, config=None) -> GF:
     """Evaluate a STARK's alpha-folded constraint quotient on the coset,
     sharded by coset rows (stark analogue of plonk/prover.rs:576, laid
     out as SP over the row axis).
 
     trace_lde: (COLUMNS, M) natural-order coset evaluations, M = n<<qdb.
-    xs: (M,) the coset points.  Returns (num_challenges, M) quotient
-    values, row-sharded.
+    xs: (M,) the coset points.  perm_lde (optional): (num_zs, M) coset
+    evaluations of the permutation Z polynomials, same sharding — their
+    checks (starky permutation.rs:232) fold into the same accumulators.
+    Returns (num_challenges, M) quotient values, row-sharded.
     """
     from ..field.goldilocks import batch_inv
     from ..stark.stark import ConstraintConsumer, StarkEvaluationVars
@@ -126,11 +129,17 @@ def sharded_stark_quotient_values(stark, trace_lde: GF, xs: np.ndarray,
     xs_gf = GF.from_u64(xs)
     zh_gf = GF.from_u64(zh)
 
+    with_perm = perm_lde is not None
     in_spec = (PSpec(None, axis), PSpec(axis), PSpec(axis))
+    args = (trace_lde, xs_gf, zh_gf)
+    if with_perm:
+        in_spec = in_spec + (PSpec(None, axis),)
+        args = args + (perm_lde,)
 
     @partial(shard_map, mesh=mesh, in_specs=in_spec,
              out_specs=PSpec(None, axis))
-    def quotient(trace_blk: GF, xs_blk: GF, zh_blk: GF) -> GF:
+    def quotient(trace_blk: GF, xs_blk: GF, zh_blk: GF,
+                 *perm_blks) -> GF:
         trace_next = _next_with_halo(trace_blk, next_step, axis)
         z_last = xs_blk - GF.full((), last)
         n_c = GF.full((), n)
@@ -145,8 +154,17 @@ def sharded_stark_quotient_values(stark, trace_lde: GF, xs: np.ndarray,
         consumer = ConstraintConsumer(ctx, list(alphas), z_last, lag_first,
                                       lag_last)
         stark.eval_generic(ctx, vars, consumer)
+        if with_perm:
+            from ..stark.permutation import eval_permutation_checks
+            (perm_blk,) = perm_blks
+            perm_next = _next_with_halo(perm_blk, next_step, axis)
+            eval_permutation_checks(
+                ctx, stark, config, vars,
+                [perm_blk[i] for i in range(perm_blk.shape[0])],
+                [perm_next[i] for i in range(perm_next.shape[0])],
+                challenge_sets, consumer)
         zh_inv = batch_inv(zh_blk)
         return GF.stack([acc * zh_inv for acc in consumer.accumulators()],
                         axis=0)
 
-    return quotient(trace_lde, xs_gf, zh_gf)
+    return quotient(*args)

@@ -55,7 +55,10 @@ def verify(proof_with_pis: ProofWithPublicInputs,
            verifier_data: VerifierOnlyCircuitData,
            common: CommonCircuitData) -> None:
     proof = proof_with_pis.proof
-    assert len(proof_with_pis.public_inputs) == common.num_public_inputs
+    # structural checks first: a malformed proof must be a clean reject,
+    # not a numpy error (reference plonk/validate_shape.rs:9)
+    from .validate_shape import validate_proof_with_pis_shape
+    validate_proof_with_pis_shape(proof_with_pis, common)
     public_inputs_hash = hash_no_pad_np(
         gl64.to_canonical(np.asarray(proof_with_pis.public_inputs, dtype=np.uint64)))
     challenges = get_challenges(proof_with_pis, public_inputs_hash,

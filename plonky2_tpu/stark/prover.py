@@ -25,13 +25,22 @@ P = gl64.ORDER_INT
 
 def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
           public_inputs: np.ndarray, timing=None,
-          trace_commitment=None) -> StarkProofWithPublicInputs:
+          trace_commitment=None, mesh=None) -> StarkProofWithPublicInputs:
     """trace_poly_values: (COLUMNS, degree) evaluations over the subgroup.
 
     trace_commitment: optionally a precomputed PolynomialBatch of the
     trace (e.g. from a pipelined device group, parallel/groups.py) —
     must equal `from_values(trace_poly_values, ...)`.
+
+    mesh: a jax.sharding.Mesh runs the whole pipeline distributed
+    (parallel/stark_prover.py) and returns a byte-identical proof.
     """
+    if mesh is not None:
+        assert trace_commitment is None, \
+            "precomputed commitments are single-device"
+        from ..parallel.stark_prover import prove_sharded
+        return prove_sharded(stark, config, trace_poly_values,
+                             public_inputs, mesh)
     degree = trace_poly_values.shape[-1]
     degree_bits = log2_strict(degree)
     fri_params = config.fri_params(degree_bits)

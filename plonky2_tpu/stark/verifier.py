@@ -44,6 +44,9 @@ def get_challenges(stark: Stark, proof_with_pis: StarkProofWithPublicInputs,
 def verify_stark_proof(stark: Stark, proof_with_pis: StarkProofWithPublicInputs,
                        config: StarkConfig, degree_bits: int) -> None:
     proof = proof_with_pis.proof
+    # structural checks first (plonk/validate_shape.py rationale)
+    from ..plonk.validate_shape import validate_stark_proof_shape
+    validate_stark_proof_shape(stark, proof_with_pis, config, degree_bits)
     challenges = get_challenges(stark, proof_with_pis, config, degree_bits)
     openings = proof.openings
     ctx = ExtCtx()

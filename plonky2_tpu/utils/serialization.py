@@ -302,6 +302,54 @@ def read_fri_proof_sd(buf: Buffer) -> FriProof:
     return FriProof(caps, rounds, final_poly, pow_witness)
 
 
+def stark_proof_to_bytes(spwp) -> bytes:
+    """Self-describing byte encoding of a single-table
+    StarkProofWithPublicInputs (starky has no reference wire format; this
+    is the repo's own layout, shared by checkpointing and the
+    distributed-prover byte-identity assertion,
+    tests/test_distributed_prove.py)."""
+    buf = Buffer()
+    p = spwp.proof
+    buf.write_hash_vec(p.trace_cap.data)
+    buf.write_bool(p.permutation_zs_cap is not None)
+    if p.permutation_zs_cap is not None:
+        buf.write_hash_vec(p.permutation_zs_cap.data)
+    buf.write_hash_vec(p.quotient_polys_cap.data)
+    os_ = p.openings
+    for arr in (os_.local_values, os_.next_values, os_.permutation_zs,
+                os_.permutation_zs_next, os_.quotient_polys):
+        arr = np.asarray(arr, np.uint64).reshape(-1, 2)
+        buf.write_usize(len(arr))
+        buf.write_ext_vec(arr)
+    write_fri_proof_sd(buf, p.opening_proof)
+    pis = np.asarray(spwp.public_inputs, np.uint64).reshape(-1)
+    buf.write_usize(len(pis))
+    buf.write_field_vec(pis)
+    return buf.bytes()
+
+
+def stark_proof_from_bytes(data: bytes):
+    from ..stark.proof import (StarkOpeningSet, StarkProof,
+                               StarkProofWithPublicInputs)
+    buf = Buffer(data)
+    trace_cap = MerkleCap(buf.read_hash_vec())
+    perm_cap = MerkleCap(buf.read_hash_vec()) if buf.read_bool() else None
+    quot_cap = MerkleCap(buf.read_hash_vec())
+    vecs = []
+    for _ in range(5):
+        n = buf.read_usize()
+        vecs.append(buf.read_ext_vec(n))
+    opening_proof = read_fri_proof_sd(buf)
+    pis = buf.read_field_vec(buf.read_usize())
+    openings = StarkOpeningSet(local_values=vecs[0], next_values=vecs[1],
+                               permutation_zs=vecs[2],
+                               permutation_zs_next=vecs[3],
+                               quotient_polys=vecs[4])
+    return StarkProofWithPublicInputs(
+        StarkProof(trace_cap, quot_cap, openings, opening_proof,
+                   permutation_zs_cap=perm_cap), pis)
+
+
 def write_proof(buf: Buffer, proof: Proof):
     buf.write_cap(proof.wires_cap)
     buf.write_cap(proof.plonk_zs_partial_products_cap)

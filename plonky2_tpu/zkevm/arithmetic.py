@@ -218,13 +218,19 @@ class ArithmeticStark(Stark):
     # CTL exports (arithmetic_stark.rs:52 ctl_arithmetic_rows)
 
     def ctl_data(self) -> list:
-        """Op flags then each register's limbs packed in pairs to
-        2*limb_bits-wide bus values (arithmetic_stark.rs:31)."""
+        """Op flags then each register's limbs packed into 32-bit bus
+        values (arithmetic_stark.rs:31 packs pairs of its fixed 16-bit
+        limbs; here the group size is 32/limb_bits so the bus layout —
+        8 u32 values per register, matching the CPU word limbs,
+        cpu.py ctl_looking_arithmetic — is invariant under limb_bits)."""
         res = Column.singles(self.IS[op] for op in ALL_OPS)
+        group = 32 // self.limb_bits
         for reg in (self.INPUT0, self.INPUT1, self.INPUT2, self.OUTPUT):
-            for i in range(self.n_limbs // 2):
-                c0 = reg.start + 2 * i
-                res.append(Column.linear([(c0, 1), (c0 + 1, self.beta)]))
+            for i in range(self.n_limbs // group):
+                c0 = reg.start + group * i
+                res.append(Column.linear(
+                    [(c0 + j, 1 << (self.limb_bits * j))
+                     for j in range(group)]))
         return res
 
     def ctl_filter(self) -> Column:

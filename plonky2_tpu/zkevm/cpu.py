@@ -32,12 +32,22 @@ per-block constant costs (cpu/gas.rs:20) and the user stack is bounded
 by an inverse witness at 1024 (cpu/stack_bounds.rs).
 
 Differences from the reference, by design (see opcodes.py): word-
-granular code (2 words per instruction), a single execution context,
-explicit fetch on channel 0, a kernel-only native HALT (STOP in kernel
-mode) instead of the two-pc halt loop, and bootstrap rows that write
-five image words per row, each CTL'd against the public program ROM
-(program.py) instead of the in-kernel code-hash chain
-(bootstrap_kernel.rs:60).
+granular code (2 words per instruction), explicit fetch on channel 0,
+a kernel-only native HALT (STOP in kernel mode) instead of the two-pc
+halt loop, and bootstrap rows that write five image words per row,
+each CTL'd against the public program ROM (program.py) instead of the
+in-kernel code-hash chain (bootstrap_kernel.rs:60).
+
+Execution contexts (round 4; reference cpu/contextops.rs +
+memory/segments.rs per-context segments): every memory access carries
+a context; per-context segments (stack, main, bytes, calldata,
+returndata, ctx metadata, runtime code for ctx > 0) use the CONTEXT
+register, shared segments (kernel code/jumptables/shift/global/trie/
+rlp) use context 0, and code fetches use the code context (0 in kernel
+mode).  GET_CONTEXT/SET_CONTEXT are kernel-only natives; SET_CONTEXT
+swaps SP through the per-context META_SP slot, so the kernel enters a
+fresh context by pre-seeding its stack cells + META_SP and popping the
+context id (call.asm %enter_new_ctx equivalent).
 
 Word = 256 bits = 8 x u32 limbs.  Memory timestamps stride by
 NUM_CHANNELS+1 per clock with slot 0 reserved for the keccak sponge's
@@ -69,6 +79,25 @@ SEG_JUMPDEST = 7    # 1 at [pc] iff code word at 2pc is JUMPDEST (0x5b)
 SEG_GLOBAL = 8      # global metadata (proof.rs BlockMetadata + trie roots)
 SEG_TRIE = 9        # word-granular MPT node data (Segment::TrieData)
 SEG_RLP = 10        # byte-granular RLP scratch (Segment::RlpRaw)
+SEG_CALLDATA = 11   # per-context calldata bytes (Segment::Calldata)
+SEG_RETURNDATA = 12  # per-context returndata bytes (Segment::Returndata)
+SEG_CTX_META = 13   # per-context metadata (Segment::ContextMetadata)
+SEG_JOURNAL = 14    # state-change journal entries (journal/journal.asm)
+
+# SEG_CTX_META slots (reference memory/segments.rs ContextMetadata)
+META_SP = 0          # saved stack length (SET_CONTEXT swaps SP through it)
+META_PARENT_CTX = 1
+META_PARENT_PC = 2
+META_CALLDATA_SIZE = 3
+META_RETURNDATA_SIZE = 4
+META_ADDRESS = 5
+META_CALLER = 6
+META_CALLVALUE = 7
+META_RETOFF = 8      # parent-memory return-copy offset
+META_RETSIZE = 9
+META_GAS_START = 10  # parent gas_used at entry (for sub-context metering)
+META_STATIC = 11     # STATICCALL flag (reference CTX_METADATA_STATIC)
+META_ACCT_VPTR = 12  # executing account's state-trie value pointer
 
 EXC_JUMPTABLE_BASE = 256    # exception handlers start here in SEG_JUMPTABLE
 
@@ -104,6 +133,10 @@ class CpuStark(Stark):
         self.SP = next(c)
         self.GAS = next(c)
         self.IS_KERNEL = next(c)
+        # current execution context (contextops.rs); per-context
+        # segments (stack, main, bytes, calldata, returndata, ctx
+        # metadata, runtime code) are addressed through it
+        self.CONTEXT = next(c)
         self.OPCODE_BITS = [next(c) for _ in range(8)]
         self.OP = {name: next(c) for name in ALL_FLAGS}
         self.EXC_BITS = [next(c) for _ in range(3)]
@@ -114,11 +147,12 @@ class CpuStark(Stark):
         # op flags are one-hot)
         self.AUX = [next(c) for _ in range(8)]
         self.BOOT_USED = [next(c) for _ in range(NUM_CHANNELS)]
-        self.CH_USED, self.CH_IS_READ, self.CH_SEGMENT, self.CH_VIRT, \
-            self.CH_VALUE = [], [], [], [], []
+        self.CH_USED, self.CH_IS_READ, self.CH_CTX, self.CH_SEGMENT, \
+            self.CH_VIRT, self.CH_VALUE = [], [], [], [], [], []
         for _ in range(NUM_CHANNELS):
             self.CH_USED.append(next(c))
             self.CH_IS_READ.append(next(c))
+            self.CH_CTX.append(next(c))
             self.CH_SEGMENT.append(next(c))
             self.CH_VIRT.append(next(c))
             self.CH_VALUE.append([next(c) for _ in range(WORD_LIMBS)])
@@ -132,7 +166,7 @@ class CpuStark(Stark):
         value8, timestamp = clock*TS_STRIDE + ch + 1) (membus.rs)."""
         ts = Column.linear([(self.CLOCK, TS_STRIDE)], constant=ch + 1)
         return [Column.single(self.CH_IS_READ[ch]),
-                Column.constant_col(0),  # context
+                Column.single(self.CH_CTX[ch]),
                 Column.single(self.CH_SEGMENT[ch]),
                 Column.single(self.CH_VIRT[ch])] + \
             Column.singles(self.CH_VALUE[ch]) + [ts]
@@ -200,8 +234,9 @@ class CpuStark(Stark):
     def ctl_looking_keccak_sponge(self) -> list:
         """KECCAK_GENERAL against the sponge table's looked row:
         (ctx, segment, virt, len, timestamp, digest8)
-        (cpu_stark.rs:25 ctl_data_keccak_sponge)."""
-        return [Column.constant_col(0),
+        (cpu_stark.rs:25 ctl_data_keccak_sponge).  The context rides
+        limb 1 of the segment word (opcodes.py round-4 note)."""
+        return [Column.single(self.CH_VALUE[1][1]),   # context
                 Column.single(self.CH_VALUE[1][0]),   # segment
                 Column.single(self.CH_VALUE[2][0]),   # virt
                 Column.single(self.CH_VALUE[3][0]),   # len
@@ -223,6 +258,12 @@ class CpuStark(Stark):
         nboot, ncyc = nv[self.IS_BOOTSTRAP], nv[self.IS_CYCLE]
         kernel = lv[self.IS_KERNEL]
         pc, sp, gas = lv[self.PC], lv[self.SP], lv[self.GAS]
+        ectx = lv[self.CONTEXT]
+        # per-context segments use the current context; code (and the
+        # jumpdest bits derived from it) use the CODE context: 0 in
+        # kernel mode, the current context in user mode (membus.rs
+        # code_context)
+        code_ctx = (one - kernel) * ectx
         op = {name: lv[self.OP[name]] for name in ALL_FLAGS}
 
         # ---- row types ------------------------------------------------
@@ -291,10 +332,12 @@ class CpuStark(Stark):
             yield_constr.constraint((one - boot) * bu)
             yield_constr.constraint(boot * (used - bu))
             yield_constr.constraint(bu * lv[self.CH_IS_READ[ch]])  # writes
+            # bootstrap writes land in context 0
+            yield_constr.constraint(boot * lv[self.CH_CTX[ch]])
 
-        # fetch: ch0 = CODE[2pc] on cycle rows
+        # fetch: ch0 = CODE[2pc] on cycle rows, in the code context
         self._channel(ctx, yield_constr, lv, 0, cyc, is_read=one,
-                      segment=SEG_CODE, virt=pc + pc)
+                      segment=SEG_CODE, virt=pc + pc, context=code_ctx)
         yield_constr.constraint(cyc * (lv[self.CH_USED[0]] - one))
 
         # ---- per-op channel shapes ------------------------------------
@@ -325,25 +368,29 @@ class CpuStark(Stark):
         for f in (op["syscall"], op["exception"]):
             pushers.append((f, sp))
 
-        # stack pops on channels 1..3 (stack.rs:41 STACK_BEHAVIORS)
+        # stack pops on channels 1..3 (stack.rs:41 STACK_BEHAVIORS) — the
+        # stack is per-context
         for depth, group in ((1, pops1), (2, pops2), (3, pops3)):
             filt = ctx.zero()
             for f, _ in group:
                 filt = filt + f
             self._channel(ctx, yield_constr, lv, depth, filt, is_read=one,
-                          segment=SEG_STACK, virt=sp - ctx.constant(depth))
+                          segment=SEG_STACK, virt=sp - ctx.constant(depth),
+                          context=ectx)
 
         # pushes / writes on channel 4
         for f, virt in pushers:
             self._channel(ctx, yield_constr, lv, 4, f,
-                          is_read=ctx.zero(), segment=SEG_STACK, virt=virt)
+                          is_read=ctx.zero(), segment=SEG_STACK, virt=virt,
+                          context=ectx)
 
         # PUSH: ch1 reads the immediate word CODE[2pc+1], ch4 pushes it
         f = op["push"]
         self._channel(ctx, yield_constr, lv, 1, f, is_read=one,
-                      segment=SEG_CODE, virt=pc + pc + one)
+                      segment=SEG_CODE, virt=pc + pc + one,
+                      context=code_ctx)
         self._channel(ctx, yield_constr, lv, 4, f, is_read=ctx.zero(),
-                      segment=SEG_STACK, virt=sp)
+                      segment=SEG_STACK, virt=sp, context=ectx)
         self._equal_values(yield_constr, lv, f, 1, 4)
 
         # DUP n / SWAP n: n = low 4 opcode bits (dup_swap.rs:105)
@@ -352,39 +399,46 @@ class CpuStark(Stark):
             n_bits = n_bits + bits[i] * ctx.constant(1 << i)
         f = op["dup"]
         self._channel(ctx, yield_constr, lv, 1, f, is_read=one,
-                      segment=SEG_STACK, virt=sp - one - n_bits)
+                      segment=SEG_STACK, virt=sp - one - n_bits,
+                      context=ectx)
         self._channel(ctx, yield_constr, lv, 4, f, is_read=ctx.zero(),
-                      segment=SEG_STACK, virt=sp)
+                      segment=SEG_STACK, virt=sp, context=ectx)
         self._equal_values(yield_constr, lv, f, 1, 4)
         f = op["swap"]
         self._channel(ctx, yield_constr, lv, 1, f, is_read=one,
-                      segment=SEG_STACK, virt=sp - one)
+                      segment=SEG_STACK, virt=sp - one, context=ectx)
         self._channel(ctx, yield_constr, lv, 2, f, is_read=one,
-                      segment=SEG_STACK, virt=sp - one - one - n_bits)
+                      segment=SEG_STACK, virt=sp - one - one - n_bits,
+                      context=ectx)
         self._channel(ctx, yield_constr, lv, 3, f, is_read=ctx.zero(),
-                      segment=SEG_STACK, virt=sp - one - one - n_bits)
+                      segment=SEG_STACK, virt=sp - one - one - n_bits,
+                      context=ectx)
         self._channel(ctx, yield_constr, lv, 4, f, is_read=ctx.zero(),
-                      segment=SEG_STACK, virt=sp - one)
+                      segment=SEG_STACK, virt=sp - one, context=ectx)
         self._equal_values(yield_constr, lv, f, 1, 3)
         self._equal_values(yield_constr, lv, f, 2, 4)
 
-        # MLOAD_GENERAL: ch3 reads (seg=ch1.v0, virt=ch2.v0), ch4 pushes
+        # MLOAD_GENERAL: ch3 reads (ctx=ch1.v1, seg=ch1.v0, virt=ch2.v0),
+        # ch4 pushes (the context rides limb 1 of the segment word)
         f = op["mload_general"]
         self._channel(ctx, yield_constr, lv, 3, f, is_read=one,
                       segment=None, seg_expr=val[1][0],
-                      virt=lv[val[2][0]])
+                      virt=lv[val[2][0]], context=lv[val[1][1]])
         self._equal_values(yield_constr, lv, f, 3, 4)
-        # MSTORE_GENERAL: ch4 writes value=ch3 at (ch1.v0, ch2.v0)
+        # MSTORE_GENERAL: ch4 writes value=ch3 at (ch1.v1, ch1.v0, ch2.v0)
         f = op["mstore_general"]
         self._channel(ctx, yield_constr, lv, 4, f, is_read=ctx.zero(),
                       segment=None, seg_expr=val[1][0],
-                      virt=lv[val[2][0]])
+                      virt=lv[val[2][0]], context=lv[val[1][1]])
         self._equal_values(yield_constr, lv, f, 3, 4)
-        # general-memory operands are single-limb
+        # general-memory operands: segword = ctx<<32 | seg (limbs 2+
+        # zero), virt/len single-limb
+        genmem = (op["mload_general"] + op["mstore_general"]
+                  + op["keccak_general"])
         for j in range(1, WORD_LIMBS):
-            yield_constr.constraint(
-                (op["mload_general"] + op["mstore_general"]
-                 + op["keccak_general"]) * (lv[val[1][j]] + lv[val[2][j]]))
+            if j >= 2:
+                yield_constr.constraint(genmem * lv[val[1][j]])
+            yield_constr.constraint(genmem * lv[val[2][j]])
             yield_constr.constraint(op["keccak_general"] * lv[val[3][j]])
 
         # binary ops riding the arithmetic CTL leave channel 3 unused;
@@ -396,11 +450,33 @@ class CpuStark(Stark):
         for j in range(WORD_LIMBS):
             yield_constr.constraint(f * lv[val[3][j]])
 
-        # PC / PUSH0 / GET_SP / PROVER_INPUT pushed values
+        # PC / PUSH0 / GET_SP / GET_CONTEXT / PROVER_INPUT pushed values
         self._pushed_scalar(ctx, yield_constr, lv, op["pc"], pc)
         self._pushed_scalar(ctx, yield_constr, lv, op["push0"], ctx.zero())
         self._pushed_scalar(ctx, yield_constr, lv, op["get_sp"], sp)
+        self._pushed_scalar(ctx, yield_constr, lv, op["get_context"], ectx)
         # prover_input: value unconstrained (generation/prover_input.rs)
+
+        # SET_CONTEXT (contextops.rs sys_set_context redesign): ch1 pops
+        # the new context (single-limb); ch2 saves the post-pop SP into
+        # the OLD context's metadata; ch3 restores SP from the NEW
+        # context's metadata (the kernel seeds it when creating a
+        # context); transitions below set CONTEXT'/SP' from ch1/ch3.
+        f = op["set_context"]
+        for j in range(1, WORD_LIMBS):
+            yield_constr.constraint(f * lv[val[1][j]])
+        self._channel(ctx, yield_constr, lv, 2, f, is_read=ctx.zero(),
+                      segment=SEG_CTX_META, virt=ctx.constant(META_SP),
+                      context=ectx)
+        yield_constr.constraint(f * (lv[val[2][0]] - (sp - one)))
+        for j in range(1, WORD_LIMBS):
+            yield_constr.constraint(f * lv[val[2][j]])
+        self._channel(ctx, yield_constr, lv, 3, f, is_read=one,
+                      segment=SEG_CTX_META, virt=ctx.constant(META_SP),
+                      context=lv[val[1][0]])
+        yield_constr.constraint_transition(
+            f * (nv[self.CONTEXT] - lv[val[1][0]]))
+        yield_constr.constraint_transition(f * (nv[self.SP] - lv[val[3][0]]))
 
         # NOT: out = ~in, limbwise (simple_logic/not.rs)
         f = op["not"]
@@ -435,6 +511,7 @@ class CpuStark(Stark):
             f * (hi_sum * lv[self.AUX[0]] - (one - sh_used)))
         self._channel(ctx, yield_constr, lv, 3, f * sh_used, is_read=one,
                       segment=SEG_SHIFT, virt=lv[val[1][0]], skip_used=True)
+        yield_constr.constraint(f * lv[self.CH_CTX[3]])  # shift table: ctx 0
         for j in range(WORD_LIMBS):
             yield_constr.constraint(f * (one - sh_used) * lv[val[3][j]])
 
@@ -460,7 +537,7 @@ class CpuStark(Stark):
             jf * (lv[self.CH_USED[3]] - should_jump * (one - kernel)))
         self._channel(ctx, yield_constr, lv, 3, jf, is_read=one,
                       segment=SEG_JUMPDEST, virt=lv[dst[0]],
-                      skip_used=True)
+                      skip_used=True, context=code_ctx)
         yield_constr.constraint(jf * (lv[val[3][0]] - one))
         for j in range(1, WORD_LIMBS):
             yield_constr.constraint(jf * lv[val[3][j]])
@@ -520,14 +597,16 @@ class CpuStark(Stark):
         pd = (op["push"], op["dup"])
         ch_used(1, used_sum(pops1), *pd, op["swap"], op["syscall"],
                 op["exception"])
-        ch_used(2, used_sum(pops2), op["swap"])
-        # ch3: plain third pops + mload read + swap write-back; jumps and
-        # shifts constrain ch3.used themselves (witness-dependent)
+        ch_used(2, used_sum(pops2), op["swap"], op["set_context"])
+        # ch3: plain third pops + mload read + swap write-back +
+        # set_context SP restore; jumps and shifts constrain ch3.used
+        # themselves (witness-dependent)
         jump_shift = op["jump"] + op["jumpi"] + op["shl"] + op["shr"]
         yield_constr.constraint(
             (cyc - jump_shift) * (lv[self.CH_USED[3]]
                                   - used_sum(pops3)
-                                  - op["mload_general"] - op["swap"]))
+                                  - op["mload_general"] - op["swap"]
+                                  - op["set_context"]))
         push4 = ctx.zero()
         for f, _ in pushers:
             push4 = push4 + f
@@ -543,11 +622,13 @@ class CpuStark(Stark):
         entry_constr(nv[self.SP])
         entry_constr(nv[self.GAS])
         entry_constr(nv[self.IS_KERNEL] - one)
+        entry_constr(nv[self.CONTEXT])
         yield_constr.constraint_first_row(
             cyc * (pc - ctx.constant(self.main_pc)))
         yield_constr.constraint_first_row(cyc * sp)
         yield_constr.constraint_first_row(cyc * gas)
         yield_constr.constraint_first_row(cyc * (kernel - one))
+        yield_constr.constraint_first_row(cyc * ectx)
 
         # ---- transitions: pc, sp, gas, kernel -------------------------
         incr = ctx.zero()   # natives with pc += 1, same kernel/mode
@@ -559,9 +640,10 @@ class CpuStark(Stark):
         yield_constr.constraint_transition(
             incr * (nv[self.IS_KERNEL] - kernel))
 
-        # sp transition per op (stack.rs)
+        # sp transition per op (stack.rs); set_context restores SP from
+        # the new context's metadata (constrained above)
         for nop in NATIVE_OPS:
-            if nop.name == "halt":
+            if nop.name in ("halt", "set_context"):
                 continue
             yield_constr.constraint_transition(
                 op[nop.name] * (nv[self.SP] - sp
@@ -569,6 +651,13 @@ class CpuStark(Stark):
         for name in ("syscall", "exception"):
             yield_constr.constraint_transition(
                 op[name] * (nv[self.SP] - sp - one))
+
+        # CONTEXT is preserved by every op except SET_CONTEXT (including
+        # syscall/exception traps: the kernel handler runs in the
+        # faulting context, contextops.rs)
+        yield_constr.constraint_transition(
+            (cyc - op["set_context"] - halt)
+            * (nv[self.CONTEXT] - ectx))
 
         # gas accumulation with constant costs (gas.rs:20); syscall and
         # exception reset to 0 and exit_kernel restores — handled above
@@ -588,14 +677,17 @@ class CpuStark(Stark):
     # helpers
 
     def _channel(self, ctx, yield_constr, lv, ch: int, filt, is_read,
-                 segment, virt, seg_expr=None, skip_used: bool = False
-                 ) -> None:
+                 segment, virt, seg_expr=None, skip_used: bool = False,
+                 context=None) -> None:
         """Bind channel ch's metadata when filt is set; unless
         skip_used, also force the channel on (dup_swap.rs:40
-        constrain_channel_packed)."""
+        constrain_channel_packed).  `context` is the memory context
+        expression (None = context 0: kernel/shared segments)."""
         one = ctx.one()
         yield_constr.constraint(
             filt * (lv[self.CH_IS_READ[ch]] - is_read))
+        ctx_expr = context if context is not None else ctx.zero()
+        yield_constr.constraint(filt * (lv[self.CH_CTX[ch]] - ctx_expr))
         seg = lv[seg_expr] if seg_expr is not None \
             else ctx.constant(segment)
         yield_constr.constraint(filt * (lv[self.CH_SEGMENT[ch]] - seg))

@@ -29,12 +29,13 @@ from ..stark.config import StarkConfig
 from ..stark.ctl import CrossTableLookup, TableWithColumns
 from ..stark.multi import prove_multi_table, verify_multi_table
 from .arithmetic import ArithmeticStark, Operation
-from .cpu import (KECCAK_TS_CH, LOGIC_OPS, NUM_CHANNELS, SEG_BYTES,
-                  SEG_CODE, SEG_GLOBAL, SEG_JUMPDEST, SEG_JUMPTABLE,
-                  SEG_MAIN, SEG_SHIFT, SEG_STACK, TS_STRIDE, WORD_LIMBS,
-                  CpuStark)
+from .cpu import (KECCAK_TS_CH, LOGIC_OPS, META_SP, NUM_CHANNELS,
+                  SEG_BYTES, SEG_CODE, SEG_CTX_META, SEG_GLOBAL,
+                  SEG_JUMPDEST, SEG_JUMPTABLE, SEG_MAIN, SEG_SHIFT,
+                  SEG_STACK, TS_STRIDE, WORD_LIMBS, CpuStark)
 from .kernel import KERNEL
-from .kernel.aggregator import (GLOBAL_BLOCK_GASLIMIT, GLOBAL_EXC_STATUS,
+from .kernel.aggregator import (DEFAULT_BLOCK_GASLIMIT,
+                                GLOBAL_BLOCK_GASLIMIT, GLOBAL_EXC_STATUS,
                                 user_opcode_is_valid)
 from .logic import LogicStark
 from .memory import MemoryOp, MemoryStark
@@ -108,7 +109,7 @@ class Simulator:
         self.user_code = list(user_code or [])
         self.global_values = dict(global_values or {})
         self.gas_limit = self.global_values.get(
-            GLOBAL_BLOCK_GASLIMIT, U32 - 1)
+            GLOBAL_BLOCK_GASLIMIT, DEFAULT_BLOCK_GASLIMIT)
         self.prover_inputs = list(prover_inputs)
         self._pi_cursor = 0
         self.max_cycles = max_cycles
@@ -116,8 +117,9 @@ class Simulator:
         self.cpu = CpuStark(main_pc=self.kernel.main_pc)
         self.traces = Traces()
         self.image = self.kernel.image(self.user_code, self.global_values)
-        self.memory = {}
-        self.stack = []
+        self.memory = {}          # keyed (context, segment, virt)
+        self.stack = []           # the CURRENT context's stack
+        self.context = 0
         self.pc = self.kernel.main_pc
         self.gas = 0
         self.kern = 1
@@ -129,28 +131,29 @@ class Simulator:
     def _row(self) -> np.ndarray:
         return np.zeros(self.cpu.COLUMNS, np.uint64)
 
-    def _mem(self, row, ch, is_read, seg, virt, value) -> int:
+    def _mem(self, row, ch, is_read, seg, virt, value, ctx: int = 0) -> int:
         cpu = self.cpu
         if row is not None:
             row[cpu.CH_USED[ch]] = 1
             row[cpu.CH_IS_READ[ch]] = int(is_read)
+            row[cpu.CH_CTX[ch]] = ctx
             row[cpu.CH_SEGMENT[ch]] = seg
             row[cpu.CH_VIRT[ch]] = virt
             for j, v in enumerate(_limbs(value)):
                 row[cpu.CH_VALUE[ch][j]] = v
             self.traces.memory_ops.append(MemoryOp(
-                True, self.clock * TS_STRIDE + ch + 1, is_read, 0, seg,
+                True, self.clock * TS_STRIDE + ch + 1, is_read, ctx, seg,
                 virt, value))
         if is_read:
-            assert self.memory.get((seg, virt), 0) == value, \
-                (seg, virt, value)
+            assert self.memory.get((ctx, seg, virt), 0) == value, \
+                (ctx, seg, virt, value)
         else:
-            self.memory[(seg, virt)] = value
+            self.memory[(ctx, seg, virt)] = value
         return value
 
-    def _read(self, row, ch, seg, virt) -> int:
+    def _read(self, row, ch, seg, virt, ctx: int = 0) -> int:
         return self._mem(row, ch, True, seg, virt,
-                         self.memory.get((seg, virt), 0))
+                         self.memory.get((ctx, seg, virt), 0), ctx=ctx)
 
     def _emit(self, row) -> None:
         if row is not None:
@@ -159,12 +162,13 @@ class Simulator:
 
     def _pop(self, row, ch) -> int:
         v = self.stack.pop()
-        self._read(row, ch, SEG_STACK, len(self.stack))
+        self._read(row, ch, SEG_STACK, len(self.stack), ctx=self.context)
         return v
 
     def _push(self, row, value) -> None:
         value &= WORD_MASK
-        self._mem(row, 4, False, SEG_STACK, len(self.stack), value)
+        self._mem(row, 4, False, SEG_STACK, len(self.stack), value,
+                  ctx=self.context)
         self.stack.append(value)
 
     # ------------------------------------------------------------- run
@@ -177,7 +181,7 @@ class Simulator:
             except Halted:
                 self.final_stack = list(self.stack)
                 self.exc_status = self.memory.get(
-                    (SEG_GLOBAL, GLOBAL_EXC_STATUS), 0)
+                    (0, SEG_GLOBAL, GLOBAL_EXC_STATUS), 0)
                 return self.traces
         raise RuntimeError("program did not halt within max_cycles")
 
@@ -197,10 +201,14 @@ class Simulator:
                 self._mem(row, ch, False, seg, virt, value)
             self._emit(row)
 
+    def code_ctx(self) -> int:
+        """Code context: 0 in kernel mode, else the current context."""
+        return 0 if self.kern else self.context
+
     def step(self) -> None:
         cpu = self.cpu
         pc, sp, kern = self.pc, len(self.stack), self.kern
-        opcode = self.memory.get((SEG_CODE, 2 * pc), 0)
+        opcode = self.memory.get((self.code_ctx(), SEG_CODE, 2 * pc), 0)
         assert opcode < 256, f"corrupt opcode word at pc {pc}"
         nop = decode_native(opcode, bool(kern))
 
@@ -238,12 +246,13 @@ class Simulator:
         row[cpu.SP] = len(self.stack)
         row[cpu.GAS] = self.gas
         row[cpu.IS_KERNEL] = self.kern
+        row[cpu.CONTEXT] = self.context
         for i in range(8):
             row[cpu.OPCODE_BITS[i]] = (opcode >> i) & 1
         if not self.kern:
             row[cpu.SP_BOUNDS_AUX] = _inv(
                 len(self.stack) - (MAX_USER_STACK_SIZE + 1))
-        self._read(row, 0, SEG_CODE, 2 * self.pc)
+        self._read(row, 0, SEG_CODE, 2 * self.pc, ctx=self.code_ctx())
         return row
 
     def _flag(self, row, name) -> None:
@@ -258,7 +267,8 @@ class Simulator:
         cond = self.stack[-2] if name == "jumpi" else 1
         if cond == 0:
             return None
-        if dst >= U32 or self.memory.get((SEG_JUMPDEST, dst), 0) != 1:
+        if dst >= U32 or self.memory.get(
+                (self.code_ctx(), SEG_JUMPDEST, dst), 0) != 1:
             return EXC_INVALID_JUMP if name == "jump" else EXC_INVALID_JUMPI
         return None
 
@@ -275,7 +285,8 @@ class Simulator:
         self._trap(row, opcode, self.pc + 1)
 
     def _exception(self, code: int) -> None:
-        row = self._cycle_row(self.memory.get((SEG_CODE, 2 * self.pc), 0)) \
+        row = self._cycle_row(self.memory.get(
+            (self.code_ctx(), SEG_CODE, 2 * self.pc), 0)) \
             if self.trace else None
         self._flag(row, "exception")
         if row is not None:
@@ -414,7 +425,8 @@ class Simulator:
         if row is None:
             return
         if should and not self.kern:
-            bit = self._read(row, 3, SEG_JUMPDEST, dst)
+            bit = self._read(row, 3, SEG_JUMPDEST, dst,
+                             ctx=self.code_ctx())
             assert bit == 1  # faults were filtered in step()
         else:
             # unused channel (kernel jump or untaken JUMPI): the AIR
@@ -422,6 +434,7 @@ class Simulator:
             # used=0 none of it reaches the memory CTL
             cpu = self.cpu
             row[cpu.CH_IS_READ[3]] = 1
+            row[cpu.CH_CTX[3]] = self.code_ctx()
             row[cpu.CH_SEGMENT[3]] = SEG_JUMPDEST
             row[cpu.CH_VIRT[3]] = dst & 0xFFFFFFFF  # AIR binds dst limb0
             row[cpu.CH_VALUE[3][0]] = 1
@@ -442,27 +455,30 @@ class Simulator:
 
     def _op_push(self, row, nop) -> None:
         self._flag(row, nop.name)
-        imm = self._read(row, 1, SEG_CODE, 2 * self.pc + 1)
+        imm = self._read(row, 1, SEG_CODE, 2 * self.pc + 1,
+                         ctx=self.code_ctx())
         self._push(row, imm)
         self.pc += 1
 
     def _op_dup(self, row, nop) -> None:
         self._flag(row, nop.name)
-        n = self.memory.get((SEG_CODE, 2 * self.pc), 0) & 0xF
-        sp = len(self.stack)
-        v = self._read(row, 1, SEG_STACK, sp - 1 - n)
+        n = self.memory.get(
+            (self.code_ctx(), SEG_CODE, 2 * self.pc), 0) & 0xF
+        sp, c = len(self.stack), self.context
+        v = self._read(row, 1, SEG_STACK, sp - 1 - n, ctx=c)
         assert v == self.stack[-1 - n]
         self._push(row, v)
         self.pc += 1
 
     def _op_swap(self, row, nop) -> None:
         self._flag(row, nop.name)
-        n = self.memory.get((SEG_CODE, 2 * self.pc), 0) & 0xF
-        sp = len(self.stack)
-        x = self._read(row, 1, SEG_STACK, sp - 1)
-        y = self._read(row, 2, SEG_STACK, sp - 2 - n)
-        self._mem(row, 3, False, SEG_STACK, sp - 2 - n, x)
-        self._mem(row, 4, False, SEG_STACK, sp - 1, y)
+        n = self.memory.get(
+            (self.code_ctx(), SEG_CODE, 2 * self.pc), 0) & 0xF
+        sp, c = len(self.stack), self.context
+        x = self._read(row, 1, SEG_STACK, sp - 1, ctx=c)
+        y = self._read(row, 2, SEG_STACK, sp - 2 - n, ctx=c)
+        self._mem(row, 3, False, SEG_STACK, sp - 2 - n, x, ctx=c)
+        self._mem(row, 4, False, SEG_STACK, sp - 1, y, ctx=c)
         self.stack[-1], self.stack[-2 - n] = y, x
         self.pc += 1
 
@@ -480,38 +496,65 @@ class Simulator:
         self._push(row, v & WORD_MASK)
         self.pc += 1
 
+    @staticmethod
+    def _segword(word: int) -> tuple:
+        """(ctx, seg) from a segment word: ctx rides limb 1
+        (opcodes.py round-4 note); the AIR zeroes limbs 2+."""
+        assert word < (1 << 64), "corrupt segment word"
+        return word >> 32, word & 0xFFFFFFFF
+
     def _op_keccak_general(self, row, nop) -> None:
         from .keccak_sponge import KeccakSpongeOp, KeccakSpongeStark
         self._flag(row, nop.name)
-        seg = self._pop(row, 1)
+        mctx, seg = self._segword(self._pop(row, 1))
         virt = self._pop(row, 2)
         length = self._pop(row, 3)
-        data = bytes(self.memory.get((seg, virt + i), 0)
+        data = bytes(self.memory.get((mctx, seg, virt + i), 0)
                      for i in range(length))
         ts = self.clock * TS_STRIDE + KECCAK_TS_CH
-        op = KeccakSpongeOp(0, seg, virt, ts, data)
+        op = KeccakSpongeOp(mctx, seg, virt, ts, data)
         self.traces.sponge_ops.append(op)
         for i, byte in enumerate(data):
             self.traces.memory_ops.append(MemoryOp(
-                True, ts, True, 0, seg, virt + i, byte))
+                True, ts, True, mctx, seg, virt + i, byte))
         digest = int.from_bytes(KeccakSpongeStark().hash_of(op), "little")
         self._push(row, digest)
         self.pc += 1
 
     def _op_mload_general(self, row, nop) -> None:
         self._flag(row, nop.name)
-        seg = self._pop(row, 1)
+        mctx, seg = self._segword(self._pop(row, 1))
         virt = self._pop(row, 2)
-        v = self._read(row, 3, seg, virt)
+        v = self._read(row, 3, seg, virt, ctx=mctx)
         self._push(row, v)
         self.pc += 1
 
     def _op_mstore_general(self, row, nop) -> None:
         self._flag(row, nop.name)
-        seg = self._pop(row, 1)
+        mctx, seg = self._segword(self._pop(row, 1))
         virt = self._pop(row, 2)
         v = self._pop(row, 3)
-        self._mem(row, 4, False, seg, virt, v)
+        self._mem(row, 4, False, seg, virt, v, ctx=mctx)
+        self.pc += 1
+
+    def _op_get_context(self, row, nop) -> None:
+        self._flag(row, nop.name)
+        self._push(row, self.context)
+        self.pc += 1
+
+    def _op_set_context(self, row, nop) -> None:
+        """Switch contexts, swapping SP through the per-context META_SP
+        slot (cpu.py SET_CONTEXT AIR; reference contextops.rs)."""
+        self._flag(row, nop.name)
+        new_ctx = self._pop(row, 1)
+        assert new_ctx < U32, "context id must be single-limb"
+        old = self.context
+        self._mem(row, 2, False, SEG_CTX_META, META_SP, len(self.stack),
+                  ctx=old)
+        new_sp = self._read(row, 3, SEG_CTX_META, META_SP, ctx=new_ctx)
+        self.context = new_ctx
+        self.stack = [self.memory.get((new_ctx, SEG_STACK, i), 0)
+                      for i in range(new_sp)]
         self.pc += 1
 
     def _op_exit_kernel(self, row, nop) -> None:
@@ -552,7 +595,8 @@ def sponge_derived_requests(sponge, sponge_trace: np.ndarray) -> tuple:
 
 
 def generate_traces(sim: Simulator, include_arithmetic: bool = True,
-                    min_rows: int = 16) -> tuple:
+                    min_rows: int = 16,
+                    arith_limb_bits: int = 16) -> tuple:
     """Run the simulator and build every table's trace.  Table order:
     cpu, memory, logic, [arithmetic], [keccak_sponge, keccak], program
     (always last; the keccak pair is present only when the run
@@ -588,7 +632,11 @@ def generate_traces(sim: Simulator, include_arithmetic: bool = True,
     traces = [cpu_trace, mem_trace, logic_trace]
     starks = [cpu, memory, logic]
     if include_arithmetic:
-        arith = ArithmeticStark(val_bits=256, limb_bits=16)
+        # limb_bits fixes the range table at 2^limb_bits rows: 16 is the
+        # production width (reference arithmetic/columns.rs LIMB_BITS);
+        # 8 keeps a barely-used table at 256 rows — the CTL bus is
+        # limb-width-invariant (arithmetic.py ctl_data)
+        arith = ArithmeticStark(val_bits=256, limb_bits=arith_limb_bits)
         traces.append(arith.generate_trace(t.arithmetic_ops))
         starks.append(arith)
     else:
@@ -698,13 +746,15 @@ def prove_program(user_code: list | None = None, kernel=None,
                   global_values: dict | None = None, prover_inputs=(),
                   config: StarkConfig = None,
                   include_arithmetic: bool = True,
-                  max_cycles: int = 4_000_000):
+                  max_cycles: int = 4_000_000,
+                  arith_limb_bits: int = 16):
     """End-to-end: simulate, build traces, joint multi-table proof
     (evm/src/prover.rs:45 prove)."""
     config = config or StarkConfig.standard_fast_config()
     sim = Simulator(user_code, kernel=kernel, global_values=global_values,
                     prover_inputs=prover_inputs, max_cycles=max_cycles)
-    starks, traces, sim = generate_traces(sim, include_arithmetic)
+    starks, traces, sim = generate_traces(sim, include_arithmetic,
+                                          arith_limb_bits=arith_limb_bits)
     ctls = all_cross_table_lookups(starks)
     proof = prove_multi_table(starks, ctls, config, traces)
     return proof, starks, ctls, sim

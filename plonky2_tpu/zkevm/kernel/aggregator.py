@@ -66,7 +66,24 @@ GLOBAL_TXN_VALUE = 23
 GLOBAL_TXN_NONCE = 24
 GLOBAL_TXN_GASPRICE = 25
 GLOBAL_TXN_COUNT = 26        # 0 = empty block (roots must be unchanged)
+# contract execution (round 4; contract.asm)
+GLOBAL_NEXT_CTX = 27         # context-id allocator (ids start at 1)
+GLOBAL_TXN_FAILED = 28       # 1 after a contract REVERT/fault (receipt status)
+GLOBAL_GAS_USED = 29         # executed frames' gas (receipt gas = 21000 + this)
+GLOBAL_JOURNAL_LEN = 30      # journal entry count (4 cells each, SEG_JOURNAL)
+GLOBAL_JOURNAL_CKPT = 31     # checkpoint for revert_journal
+GLOBAL_EXEC_RET = 32         # kernel continuation pc after a contract frame
+GLOBAL_RETURNDATA_LEN = 33   # byte length of (0, SEG_RETURNDATA)
+GLOBAL_DRY_RUN = 34          # 1: check_root publishes instead of checking
+GLOBAL_TXN_DATA_LEN = 35     # calldata byte length (public txn data)
+GLOBAL_TXN_DATA_BASE = 64    # calldata words, 32 bytes each, big-endian
 GLOBAL_MIN_SP_BASE = 256
+
+# Default block gas limit when the caller leaves the slot unset.  The
+# image and the Simulator MUST share this default: sys_stop checks
+# gas_used <= @GLOBAL_GASLIMIT, so an image slot of 0 would make every
+# gas-charging program that halts via STOP spin in panic forever.
+DEFAULT_BLOCK_GASLIMIT = (1 << 32) - 1
 
 SYSCALL_ROUTES = {
     0x00: "sys_stop", 0x0A: "sys_exp", 0x20: "sys_keccak256",
@@ -75,17 +92,24 @@ SYSCALL_ROUTES = {
     # signed arithmetic (kernel/asm/signed.asm, reference asm/signed.asm)
     0x05: "sys_sdiv", 0x07: "sys_smod", 0x0B: "sys_signextend",
     0x12: "sys_slt", 0x13: "sys_sgt", 0x1D: "sys_sar",
+    # contract-frame environment + storage + exits (contract.asm)
+    0x30: "sys_address", 0x33: "sys_caller", 0x34: "sys_callvalue",
+    0x35: "sys_calldataload", 0x36: "sys_calldatasize",
+    0x54: "sys_sload", 0x55: "sys_sstore",
+    0xF3: "sys_return", 0xFD: "sys_revert",
 }
-# user opcodes that grow the stack via their syscall handler (GAS); the
-# simulator traps EXC_STACK_OVERFLOW for these before syscall dispatch
-SYSCALL_STACK_INCREASING = {0x5A}
+# user opcodes that grow the stack via their syscall handler (GAS,
+# environment pushes); the simulator traps EXC_STACK_OVERFLOW for
+# these before syscall dispatch
+SYSCALL_STACK_INCREASING = {0x5A, 0x30, 0x33, 0x34, 0x36}
 EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
               "exc_stack_underflow", "exc_invalid_jump",
               "exc_invalid_jumpi", "exc_stack_overflow", "panic", "panic")
 
 ASM_DIR = Path(__file__).parent / "asm"
 CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "signed.asm",
-              "memory.asm", "rlp.asm", "mpt.asm", "mpt_ops.asm", "txn.asm")
+              "memory.asm", "rlp.asm", "mpt.asm", "mpt_ops.asm",
+              "contract.asm", "txn.asm")
 
 
 def user_opcode_is_valid(opcode: int) -> bool:
@@ -161,7 +185,8 @@ class Kernel:
             if opcode == 0x5B:  # JUMPDEST
                 entries.append((SEG_JUMPDEST, self.user_base + i, 1))
         gv = {GLOBAL_INVALID_OPCODES_USER: invalid_opcodes_user_mask(),
-              GLOBAL_STACK_INCREASING_USER: stack_increasing_user_mask()}
+              GLOBAL_STACK_INCREASING_USER: stack_increasing_user_mask(),
+              GLOBAL_BLOCK_GASLIMIT: DEFAULT_BLOCK_GASLIMIT}
         for oc in range(256):
             ms = min_stack_len(oc)
             if ms:
@@ -190,6 +215,26 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "SEGMENT_GLOBAL": cpu.SEG_GLOBAL,
         "SEGMENT_TRIE": cpu.SEG_TRIE,
         "SEGMENT_RLP": cpu.SEG_RLP,
+        "SEGMENT_CALLDATA": cpu.SEG_CALLDATA,
+        "SEGMENT_RETURNDATA": cpu.SEG_RETURNDATA,
+        "SEGMENT_CTX_META": cpu.SEG_CTX_META,
+        "SEGMENT_JOURNAL": cpu.SEG_JOURNAL,
+        "CTX_ACCT_VPTR": cpu.META_ACCT_VPTR,
+        "CTX_ADDRESS": cpu.META_ADDRESS,
+        "CTX_CALLER": cpu.META_CALLER,
+        "CTX_CALLVALUE": cpu.META_CALLVALUE,
+        "CTX_CALLDATA_SIZE": cpu.META_CALLDATA_SIZE,
+        "J_BALANCE": 1, "J_STORAGE": 2,
+        "GLOBAL_NEXT_CTX": GLOBAL_NEXT_CTX,
+        "GLOBAL_TXN_FAILED": GLOBAL_TXN_FAILED,
+        "GLOBAL_GAS_USED": GLOBAL_GAS_USED,
+        "GLOBAL_JOURNAL_LEN": GLOBAL_JOURNAL_LEN,
+        "GLOBAL_JOURNAL_CKPT": GLOBAL_JOURNAL_CKPT,
+        "GLOBAL_EXEC_RET": GLOBAL_EXEC_RET,
+        "GLOBAL_RETURNDATA_LEN": GLOBAL_RETURNDATA_LEN,
+        "GLOBAL_DRY_RUN": GLOBAL_DRY_RUN,
+        "GLOBAL_TXN_DATA_LEN": GLOBAL_TXN_DATA_LEN,
+        "GLOBAL_TXN_DATA_BASE": GLOBAL_TXN_DATA_BASE,
         "GLOBAL_GASLIMIT": GLOBAL_BLOCK_GASLIMIT,
         "GLOBAL_INVALID_OPCODES_USER": GLOBAL_INVALID_OPCODES_USER,
         "GLOBAL_STACK_INCREASING_USER": GLOBAL_STACK_INCREASING_USER,

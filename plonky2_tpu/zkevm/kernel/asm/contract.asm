@@ -1,0 +1,589 @@
+// Contract execution in a sub-context (reduced twin of reference
+// cpu/kernel/asm/core/{call.asm,process_txn.asm} + journal/journal.asm
+// + core/jumpdest_analysis.asm, re-targeted at the word machine).
+//
+// Flow (txn.asm execute_transfer tail): when the txn recipient's
+// account carries code (code_hash != keccak("")), the kernel
+//   1. loads the code from the prover-input stream into the fresh
+//     context's CODE segment, verifying keccak(serialization) against
+//     the account's code_hash (the reference reads code the same way,
+//     generation/prover_input.rs) and writing the context's JUMPDEST
+//     bits (jumpdest_analysis.asm equivalent);
+//   2. copies the public txn calldata (SEG_GLOBAL words) into the
+//     context's CALLDATA bytes and seeds the context metadata
+//     (address/caller/value/calldata size, account vptr);
+//   3. enters the context: SET_CONTEXT swaps SP through META_SP
+//     (cpu.py), then EXIT_KERNEL with word 0 starts user execution at
+//     pc 0 with zero gas;
+//   4. the contract exits through sys_stop / sys_return / sys_revert
+//     (or a user fault -> fault_exception), all of which land in
+//     contract_exit below: copy returndata, set the failure flag,
+//     journal-revert if failing, SET_CONTEXT back to 0 (the parent's
+//     SP was hardware-saved on entry) and jump to the stored
+//     continuation.
+//
+// Journal (reference journal/journal.asm redesign): fixed 4-cell
+// entries [type, a, b, c] in (0, SEG_JOURNAL); revert REPLAYS the old
+// values through the same trie routines rather than snapshotting
+// pointers (mpt_insert mutates nodes in place, but trie HASHES are
+// content-based, so value-replay restores the root exactly).  Known
+// reduction: reverting an insert of a previously-ABSENT key (fresh
+// storage slot / fresh account) would need mpt_delete, which this
+// kernel does not have yet — such reverts make the proof impossible
+// (a completeness gap, not a soundness one).
+//
+// Code serialization for hashing: 33 bytes per instruction — opcode
+// byte, then the immediate as 32 big-endian bytes.  code_hash =
+// keccak of that byte string, stored big-endian in the account.
+//
+// Stack comments list the TOP first.
+
+// [x] -> [segword]: segword addressing segment $seg of context x
+// (segword = ctx<<32 | seg; opcodes.py round-4 note)
+%macro seg_of(seg)
+    PUSH 32
+    SHL
+    PUSH $seg
+    ADD
+%endmacro
+
+// ------------------------------------------------------------ journal
+
+// journal_append(type, a, b, c, retdest): append one 4-cell entry
+global journal_append:
+    %mload_global(@GLOBAL_JOURNAL_LEN)
+    DUP1
+    PUSH 1
+    ADD
+    %mstore_global(@GLOBAL_JOURNAL_LEN)
+    // stack: len, type, a, b, c, retdest
+    PUSH 4
+    MUL                          // [base, type, a, b, c, retdest]
+    %stack (base, type) -> (base, type, base)
+    PUSH @SEGMENT_JOURNAL
+    MSTORE_GENERAL               // JOURNAL[base] = type
+    // stack: base, a, b, c, retdest
+    %stack (base, a) -> (base, 1, a, base)
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MSTORE_GENERAL               // JOURNAL[base+1] = a
+    %stack (base, b) -> (base, 2, b, base)
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MSTORE_GENERAL               // JOURNAL[base+2] = b
+    %stack (base, c) -> (base, 3, c)
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MSTORE_GENERAL               // JOURNAL[base+3] = c
+    JUMP
+
+// [vptr] -> []: record the old balance of the account at vptr
+%macro journal_balance
+    DUP1
+    PUSH 1
+    ADD
+    %trie_read                   // [old_bal, vptr]
+    %stack (old, vptr) -> (@J_BALANCE, vptr, old, 0, %%done)
+    %jump(journal_append)
+%%done:
+%endmacro
+
+// revert_journal(retdest): unwind entries above @GLOBAL_JOURNAL_CKPT,
+// newest first (journal/revert.asm revert_journal_entry dispatch)
+global revert_journal:
+rj_loop:
+    %mload_global(@GLOBAL_JOURNAL_LEN)
+    %mload_global(@GLOBAL_JOURNAL_CKPT)
+    // stack: ckpt, len, retdest
+    DUP2
+    EQ
+    %jumpi(rj_done)
+    PUSH 1
+
+    SWAP1
+    SUB                          // [len-1, retdest]
+    DUP1
+    %mstore_global(@GLOBAL_JOURNAL_LEN)
+    PUSH 4
+    MUL                          // [base, retdest]
+    DUP1
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [type, base, retdest]
+    DUP1
+    PUSH @J_BALANCE
+    EQ
+    %jumpi(rj_balance)
+    PUSH @J_STORAGE
+    EQ
+    %jumpi(rj_storage)
+    %jump(panic)
+rj_balance:
+    // stack: type, base, retdest — entry [_, vptr, old_bal, _]
+    POP
+    DUP1
+    PUSH 1
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [vptr, base, retdest]
+    SWAP1
+    PUSH 2
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [old_bal, vptr, retdest]
+    SWAP1
+    PUSH 1
+    ADD                          // [vptr+1, old_bal, retdest]
+    %trie_write
+    %jump(rj_loop)
+rj_storage:
+    // stack: base, retdest — entry [_, acct_vptr, slot, old_value]:
+    // replay SSTORE(slot, old_value) on the account's storage trie
+    DUP1
+    PUSH 1
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [acct_vptr, base, retdest]
+    DUP2
+    PUSH 2
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [slot, acct_vptr, base, retdest]
+    SWAP2                        // [base, acct_vptr, slot, retdest]
+    PUSH 3
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [old_value, acct_vptr, slot, retdest]
+    %stack (old, vptr, slot) -> (vptr, slot, old, rj_loop)
+    %jump(storage_write)
+
+rj_done:
+    // stack: len, retdest
+    POP
+    JUMP
+
+// ------------------------------------------------- storage primitives
+
+// hash_key32(v, retdest) -> packed: 64-nibble storage-trie key
+// keccak(32-byte BE v) (reference storage keys; addr_key twin)
+global hash_key32:
+    // stack: v, retdest
+    PUSH 32
+    %rlp_alloc                   // [a, v, retdest]
+    %stack (a, v) -> (a, v, 32, hk_1, a)
+    %jump(mstore_be)
+hk_1:
+    // stack: a, retdest
+    %stack (a) -> (@SEGMENT_RLP, a, 32)
+    KECCAK_GENERAL               // [digest_le, retdest]
+    %stack (d) -> (d, hk_2)
+    %jump(byteswap32)
+hk_2:
+    SWAP1
+    JUMP
+
+// storage_read(acct_vptr, slot, retdest) -> value (0 if absent)
+global storage_read:
+    // stack: acct_vptr, slot, retdest
+    SWAP1
+    %stack (slot) -> (slot, sr_1)
+    %jump(hash_key32)
+sr_1:
+    // stack: key, acct_vptr, retdest
+    SWAP1
+    PUSH 2
+    ADD
+    %trie_read                   // [sptr, key, retdest]
+    %stack (sptr, key) -> (sptr, 64, key, sr_2)
+    %jump(mpt_read)
+sr_2:
+    // stack: vptr, retdest
+    DUP1
+    ISZERO
+    %jumpi(sr_absent)
+    %trie_read                   // [value, retdest]
+    SWAP1
+    JUMP
+sr_absent:
+    // stack: vptr(0), retdest — absent slot reads 0
+    SWAP1
+    JUMP
+
+// storage_write(acct_vptr, slot, value, retdest): storage[slot] = value
+// (fresh 1-cell trie value + insert; account's storage ptr updated)
+global storage_write:
+    // stack: acct_vptr, slot, value, retdest
+    SWAP1
+    %stack (slot) -> (slot, sw_1)
+    %jump(hash_key32)
+sw_1:
+    // stack: key, acct_vptr, value, retdest
+    PUSH 1
+    %trie_alloc                  // [vv, key, acct_vptr, value, retdest]
+    %stack (vv, key, acct_vptr, value) -> (vv, value, acct_vptr, key, vv, acct_vptr)
+    %trie_write                  // TRIE[vv] = value
+    // stack: acct_vptr, key, vv, acct_vptr, retdest
+    PUSH 2
+    ADD
+    %trie_read                   // [sptr, key, vv, acct_vptr, retdest]
+    %stack (sptr, key, vv) -> (sptr, 64, key, vv, sw_2)
+    %jump(mpt_insert)
+sw_2:
+    // stack: newsptr, acct_vptr, retdest
+    SWAP1
+    PUSH 2
+    ADD                          // [acct_vptr+2, newsptr, retdest]
+    %trie_write
+    JUMP
+
+// -------------------------------------------------- contract loading
+
+// load_contract_code(chash, child, retdest): read (count, then
+// per-instruction opcode+imm) from the prover-input stream, write the
+// child's CODE words + JUMPDEST bits, and verify the 33-byte/instr
+// serialization hashes to chash.
+global load_contract_code:
+    // stack: chash, child, retdest
+    PROVER_INPUT                 // [count, chash, child, retdest]
+    DUP1
+    PUSH 33
+    MUL                          // [hlen, count, chash, child, retdest]
+    DUP1
+    %rlp_alloc                   // [hb0, hlen, count, chash, child, retdest]
+    DUP5
+    %seg_of(@SEGMENT_CODE)       // [csw, hb0, hlen, count, chash, child, retdest]
+    DUP6
+    %seg_of(@SEGMENT_JUMPDEST)   // [jsw, csw, hb0, hlen, count, chash, child, retdest]
+    %stack (jsw, csw, hb0, hlen, count, chash, child) -> (0, hb0, count, csw, jsw, hb0, hlen, chash)
+lcc_loop:
+    // stack: i, hb, count, csw, jsw, hb0, hlen, chash, retdest
+    DUP3
+    DUP2
+    EQ
+    %jumpi(lcc_done)
+    PROVER_INPUT                 // [op, i, hb, count, csw, jsw, ...]
+    // code word: (child, SEG_CODE, 2i) = op
+    %stack (op, i, hb, count, csw) -> (i, i, csw, op, op, i, hb, count, csw)
+    ADD                          // [2i, csw, op, op, i, hb, count, csw, ...]
+    SWAP1                        // [csw, 2i, op, op, ...]
+    MSTORE_GENERAL               // [op, i, hb, count, csw, jsw, ...]
+    // hash byte: RLP[hb] = op
+    DUP1
+    DUP4
+    %rlp_write                   // [op, i, hb, count, csw, jsw, ...]
+    // jumpdest bit: if op == 0x5B: (child, SEG_JUMPDEST, i) = 1
+    PUSH 0x5b
+    EQ
+    ISZERO
+    %jumpi(lcc_imm)
+    %stack (i, hb, count, csw, jsw) -> (jsw, i, 1, i, hb, count, csw, jsw)
+    MSTORE_GENERAL               // [i, hb, count, csw, jsw, ...]
+lcc_imm:
+    PROVER_INPUT                 // [imm, i, hb, count, csw, jsw, ...]
+    // code word: (child, SEG_CODE, 2i+1) = imm
+    %stack (imm, i, hb, count, csw) -> (i, i, 1, csw, imm, imm, i, hb, count, csw)
+    ADD
+    ADD                          // [2i+1, csw, imm, imm, ...]
+    SWAP1                        // [csw, 2i+1, imm, imm, ...]
+    MSTORE_GENERAL               // [imm, i, hb, count, csw, jsw, ...]
+    // hash bytes: RLP[hb+1 .. hb+32] = imm big-endian
+    DUP3
+    PUSH 1
+    ADD                          // [hb+1, imm, i, hb, count, ...]
+    %stack (a, imm) -> (a, imm, 32, lcc_next)
+    %jump(mstore_be)
+lcc_next:
+    // stack: i, hb, count, csw, jsw, hb0, hlen, chash, retdest
+    PUSH 1
+    ADD                          // [i+1, hb, ...]
+    SWAP1
+    PUSH 33
+    ADD
+    SWAP1                        // [i+1, hb+33, ...]
+    %jump(lcc_loop)
+lcc_done:
+    // stack: i, hb, count, csw, jsw, hb0, hlen, chash, retdest
+    %stack (i, hb, count, csw, jsw, hb0, hlen, chash) -> (@SEGMENT_RLP, hb0, hlen, chash)
+    KECCAK_GENERAL               // [digest_le, chash, retdest]
+    %stack (d) -> (d, lcc_cmp)
+    %jump(byteswap32)
+lcc_cmp:
+    // stack: digest_be, chash, retdest
+    EQ
+    ISZERO
+    %jumpi(panic)                // code does not match the account hash
+    JUMP
+
+// ---------------------------------------------- context entry / exit
+
+// execute_contract(tkey, retdest): if the account at state key tkey
+// carries code, run it in a fresh context (call.asm reduced: the txn
+// recipient frame; the journal checkpoint is set by the caller before
+// the value transfer so REVERT undoes it, journal/revert.asm).
+global execute_contract:
+    // stack: tkey, retdest
+    %mload_global(@GLOBAL_STATE_TRIE_PTR)
+    %stack (state, tkey) -> (state, 64, tkey, ec_1)
+    %jump(mpt_read)
+ec_1:
+    // stack: tvptr, retdest
+    DUP1
+    ISZERO
+    %jumpi(ec_skip)              // no account: nothing to execute
+    DUP1
+    PUSH 3
+    ADD
+    %trie_read                   // [chash, tvptr, retdest]
+    DUP1
+    PUSH @EMPTY_CODE_HASH
+    EQ
+    %jumpi(ec_skip2)             // no code
+    // allocate the child context id (ids start at 1; 0 is the kernel)
+    %mload_global(@GLOBAL_NEXT_CTX)
+    PUSH 1
+    ADD                          // [child, chash, tvptr, retdest]
+    DUP1
+    %mstore_global(@GLOBAL_NEXT_CTX)
+    // load + verify the code, write JUMPDEST bits
+    %stack (child, chash, tvptr) -> (chash, child, ec_2, child, tvptr)
+    %jump(load_contract_code)
+ec_2:
+    // stack: child, tvptr, retdest — seed the context metadata
+    DUP1
+    %seg_of(@SEGMENT_CTX_META)   // [msw, child, tvptr, retdest]
+    %stack (msw, child, tvptr) -> (msw, @CTX_ACCT_VPTR, tvptr, msw, child, tvptr)
+    MSTORE_GENERAL
+    %mload_global(@GLOBAL_TXN_TO)
+    %stack (to, msw) -> (msw, @CTX_ADDRESS, to, msw)
+    MSTORE_GENERAL
+    %mload_global(@GLOBAL_TXN_SENDER)
+    %stack (from, msw) -> (msw, @CTX_CALLER, from, msw)
+    MSTORE_GENERAL
+    %mload_global(@GLOBAL_TXN_VALUE)
+    %stack (v, msw) -> (msw, @CTX_CALLVALUE, v, msw)
+    MSTORE_GENERAL
+    %mload_global(@GLOBAL_TXN_DATA_LEN)
+    %stack (n, msw) -> (msw, @CTX_CALLDATA_SIZE, n, msw)
+    MSTORE_GENERAL
+    // copy the public calldata words (SEG_GLOBAL, big-endian packed)
+    // into the child's byte-granular CALLDATA segment
+    DUP2
+    %seg_of(@SEGMENT_CALLDATA)   // [dsw, msw, child, tvptr, retdest]
+    %mload_global(@GLOBAL_TXN_DATA_LEN)
+    PUSH 0                       // [i, n, dsw, msw, child, tvptr, retdest]
+ec_cd_loop:
+    DUP2
+    DUP2
+    EQ
+    %jumpi(ec_cd_done)
+    // byte i = BYTE(i & 31, GLOBAL[DATA_BASE + (i >> 5)])
+    DUP1
+    PUSH 5
+    SHR                          // [i>>5, i, n, dsw, ...]
+    PUSH @GLOBAL_TXN_DATA_BASE
+    ADD
+    PUSH @SEGMENT_GLOBAL
+    MLOAD_GENERAL                // [word, i, n, dsw, ...]
+    DUP2
+    PUSH 31
+    AND                          // [i&31, word, i, n, dsw, ...]
+    BYTE                         // [byte, i, n, dsw, ...]
+    %stack (b, i, n, dsw) -> (dsw, i, b, i, n, dsw)
+    MSTORE_GENERAL               // [i, n, dsw, ...]
+    PUSH 1
+    ADD
+    %jump(ec_cd_loop)
+ec_cd_done:
+    // stack: i, n, dsw, msw, child, tvptr, retdest
+    %stack (i, n, dsw, msw, child, tvptr) -> (child)
+    PUSH ec_ret
+    %mstore_global(@GLOBAL_EXEC_RET)
+    SET_CONTEXT                  // -> child context, sp = 0 (fresh META_SP)
+    PUSH 0
+    EXIT_KERNEL                  // user mode, pc 0, gas 0
+ec_ret:
+    // contract_exit SET_CONTEXTed back to 0 and jumped here; the
+    // parent's SP (and with it [retdest]) was hardware-restored
+    JUMP
+ec_skip2:
+    POP
+ec_skip:
+    POP
+    JUMP
+
+// contract_exit(status, trap): finish the frame — accumulate the
+// child's gas, journal-revert on failure, return to the parent
+// (terminate.asm + journal/revert.asm reduced)
+global contract_exit:
+    SWAP1                        // [trap, status]
+    PUSH 192
+    SHR                          // [child_gas, status]
+    %mload_global(@GLOBAL_GAS_USED)
+    ADD
+    %mstore_global(@GLOBAL_GAS_USED)
+    // stack: status
+    %jumpi(ce_done)              // nonzero: success
+    PUSH ce_f1
+    %jump(revert_journal)
+ce_f1:
+    PUSH 1
+    %mstore_global(@GLOBAL_TXN_FAILED)
+ce_done:
+    PUSH 0
+    SET_CONTEXT                  // back to the parent (kernel, ctx 0)
+    %mload_global(@GLOBAL_EXEC_RET)
+    JUMP
+
+// a user fault inside a contract frame fails the txn (the ctx-0 path
+// in core.asm fault_exception halts the block instead)
+global contract_fault:
+    PUSH cf_1
+    %jump(revert_journal)
+cf_1:
+    PUSH 1
+    %mstore_global(@GLOBAL_TXN_FAILED)
+    PUSH 0
+    %mstore_global(@GLOBAL_RETURNDATA_LEN)
+    PUSH 0
+    SET_CONTEXT
+    %mload_global(@GLOBAL_EXEC_RET)
+    JUMP
+
+// copy_returndata(offset, len, retdest): (ctx, SEG_BYTES, offset+i) ->
+// (0, SEG_RETURNDATA, i); records the length
+global copy_returndata:
+    GET_CONTEXT
+    %seg_of(@SEGMENT_BYTES)      // [bsw, offset, len, retdest]
+    %stack (bsw, offset, len) -> (0, len, offset, bsw)
+crd_loop:
+    // stack: i, len, offset, bsw, retdest
+    DUP2
+    DUP2
+    EQ
+    %jumpi(crd_done)
+    %stack (i, len, offset, bsw) -> (i, offset, bsw, i, len, offset, bsw)
+    ADD
+    SWAP1                        // [bsw, offset+i, i, len, offset, bsw]
+    MLOAD_GENERAL                // [byte, i, len, offset, bsw]
+    %stack (b, i) -> (@SEGMENT_RETURNDATA, i, b, i)
+    MSTORE_GENERAL               // [i, len, offset, bsw]
+    PUSH 1
+    ADD
+    %jump(crd_loop)
+crd_done:
+    %stack (i, len, offset, bsw) -> (len)
+    %mstore_global(@GLOBAL_RETURNDATA_LEN)
+    JUMP
+
+// ------------------------------------------- contract-frame syscalls
+
+// [..] -> [value]: read slot $slot of the current context's metadata
+%macro push_ctx_meta(slot)
+    GET_CONTEXT
+    %seg_of(@SEGMENT_CTX_META)
+    PUSH $slot
+    SWAP1
+    MLOAD_GENERAL
+%endmacro
+
+global sys_return:
+    // stack (top first): trap, offset, len
+    %stack (trap, offset, len) -> (offset, len, sys_ret_1, trap)
+    %jump(copy_returndata)
+sys_ret_1:
+    // stack: trap
+    PUSH 1
+    %jump(contract_exit)
+
+global sys_revert:
+    // stack: trap, offset, len
+    %stack (trap, offset, len) -> (offset, len, sys_rev_1, trap)
+    %jump(copy_returndata)
+sys_rev_1:
+    PUSH 0
+    %jump(contract_exit)
+
+global sys_sload:
+    // stack: trap, slot
+    %push_ctx_meta(@CTX_ACCT_VPTR)
+    %stack (vptr, trap, slot) -> (vptr, slot, ssl_1, trap)
+    %jump(storage_read)
+ssl_1:
+    // stack: value, trap
+    SWAP1
+    %charge_gas(100)
+    EXIT_KERNEL
+
+global sys_sstore:
+    // stack: trap, slot, value
+    %push_ctx_meta(@CTX_ACCT_VPTR)
+    // journal the old value first (journal/storage_change.asm)
+    %stack (vptr, trap, slot) -> (vptr, slot, sss_1, vptr, trap, slot)
+    %jump(storage_read)
+sss_1:
+    // stack: old, vptr, trap, slot, value
+    %stack (old, vptr, trap, slot, value) -> (@J_STORAGE, vptr, slot, old, sss_2, vptr, trap, slot, value)
+    %jump(journal_append)
+sss_2:
+    // stack: vptr, trap, slot, value
+    %stack (vptr, trap, slot, value) -> (vptr, slot, value, sss_3, trap)
+    %jump(storage_write)
+sss_3:
+    // stack: trap
+    %charge_gas(100)
+    EXIT_KERNEL
+
+global sys_calldataload:
+    // stack: trap, i — 32-byte big-endian read of calldata bytes
+    // i..i+32 (reads past the length are fresh and therefore 0, the
+    // EVM zero-pad semantics via the memory AIR's fresh-read rule)
+    GET_CONTEXT
+    %seg_of(@SEGMENT_CALLDATA)   // [dsw, trap, i]
+    %stack (dsw, trap, i) -> (0, 32, i, dsw, 0, trap)
+scd_loop:
+    // stack: j, 32, i, dsw, acc, trap
+    DUP2
+    DUP2
+    EQ
+    %jumpi(scd_done)
+    %stack (j, n32, i, dsw, acc) -> (j, i, dsw, 8, acc, j, n32, i, dsw)
+    ADD
+    SWAP1                        // [dsw, i+j, 8, acc, j, n32, i, dsw]
+    MLOAD_GENERAL                // [b, 8, acc, j, n32, i, dsw]
+    SWAP2                        // [acc, 8, b, j, n32, i, dsw]
+    SWAP1                        // [8, acc, b, ...]
+    SHL                          // [acc<<8, b, ...]
+    ADD                          // [acc', j, n32, i, dsw]
+    %stack (acc, j, n32, i, dsw) -> (j, 1, n32, i, dsw, acc)
+    ADD                          // [j+1, n32, i, dsw, acc]
+    %jump(scd_loop)
+scd_done:
+    // stack: j, n32, i, dsw, acc, trap
+    %stack (j, n32, i, dsw, acc) -> (acc)
+    SWAP1
+    %charge_gas(3)
+    EXIT_KERNEL
+
+global sys_calldatasize:
+    // stack: trap
+    %push_ctx_meta(@CTX_CALLDATA_SIZE)
+    SWAP1
+    %charge_gas(2)
+    EXIT_KERNEL
+
+global sys_caller:
+    %push_ctx_meta(@CTX_CALLER)
+    SWAP1
+    %charge_gas(2)
+    EXIT_KERNEL
+
+global sys_callvalue:
+    %push_ctx_meta(@CTX_CALLVALUE)
+    SWAP1
+    %charge_gas(2)
+    EXIT_KERNEL
+
+global sys_address:
+    %push_ctx_meta(@CTX_ADDRESS)
+    SWAP1
+    %charge_gas(2)
+    EXIT_KERNEL

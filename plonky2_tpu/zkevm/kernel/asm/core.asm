@@ -33,7 +33,8 @@
     AND
     DUP1
     ADD
-    PUSH @SEGMENT_CODE
+    GET_CONTEXT
+    %seg_of(@SEGMENT_CODE)       // the faulting code's context
     MLOAD_GENERAL
 %endmacro
 
@@ -51,9 +52,13 @@
 global panic:
     %jump(panic)
 
-// exceptional exit: record the fault and halt (the reference unwinds
-// into transaction revert, core/terminate.asm; round-2 reduction)
+// exceptional exit: in a contract frame (context != 0) a user fault
+// fails the transaction and journal-reverts (contract.asm
+// contract_fault, reference core/terminate.asm); at the top level it
+// records the fault and halts (round-2 reduction)
 global fault_exception:
+    GET_CONTEXT
+    %jumpi(contract_fault)
     PUSH 1
     %mstore_global(@GLOBAL_EXC_STATUS)
     HALT

@@ -76,7 +76,8 @@ check_jumpdest_invalid:
     LT                           // [trap, dst, dst < 2^32]
     ISZERO
     %jumpi(fault_oversized_dst)
-    PUSH @SEGMENT_JUMPDEST
+    GET_CONTEXT
+    %seg_of(@SEGMENT_JUMPDEST)   // jumpdest bits live with the code
     MLOAD_GENERAL                // [trap, jumpdest_bit]
     ISZERO
     %jumpi(fault_exception)

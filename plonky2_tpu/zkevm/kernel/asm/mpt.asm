@@ -799,11 +799,23 @@ global hash_receipt_trie:
 // check_root(digest_le, global_idx, retdest): panic unless the digest
 // equals the claimed public root (outputs-as-checked-inputs binding).
 global check_root:
-    // stack: digest, idx, retdest
+    // stack: digest, idx, retdest — in dry-run mode (host pipeline
+    // computing the public after-roots, transfer.py public_values)
+    // PUBLISH the computed root instead of checking; the verifier
+    // rebuilds the image with @GLOBAL_DRY_RUN = 0, so a dry-run proof
+    // can never pass the ROM binding
+    %mload_global(@GLOBAL_DRY_RUN)
+    %jumpi(cr_store)
     SWAP1
     PUSH @SEGMENT_GLOBAL
     MLOAD_GENERAL                // [claimed, digest, retdest]
     EQ
     ISZERO
     %jumpi(panic)
+    JUMP
+cr_store:
+    // stack: digest, idx, retdest
+    SWAP1
+    PUSH @SEGMENT_GLOBAL
+    MSTORE_GENERAL               // GLOBAL[idx] = digest
     JUMP

@@ -18,6 +18,10 @@ global sys_stop:
     // provable exit is exc_out_of_gas (which re-verifies gas_used >
     // limit); the reference leaves exc_out_of_gas as TODO
     // (cpu/kernel/asm/core/exception.asm:26).
+    // In a contract frame (context != 0) STOP ends the frame with
+    // success and empty returndata instead (contract.asm).
+    GET_CONTEXT
+    %jumpi(sys_stop_contract)
     %mload_global(@GLOBAL_GASLIMIT)
     DUP2
     PUSH 192
@@ -27,10 +31,18 @@ global sys_stop:
     POP
     HALT
 
+sys_stop_contract:
+    // stack: trap — success, empty returndata (contract.asm)
+    PUSH 0
+    %mstore_global(@GLOBAL_RETURNDATA_LEN)
+    PUSH 1
+    %jump(contract_exit)
+
 global sys_mload:
     // stack: addr, trap
     SWAP1
-    PUSH @SEGMENT_MAIN
+    GET_CONTEXT
+    %seg_of(@SEGMENT_MAIN)       // user memory is per-context
     MLOAD_GENERAL                // [trap, value]
     SWAP1
     %charge_gas(3)
@@ -40,7 +52,8 @@ global sys_mstore:
     // stack: value, offset, trap
     SWAP2                        // [trap, offset, value]
     SWAP1                        // [trap, value, offset]
-    PUSH @SEGMENT_MAIN
+    GET_CONTEXT
+    %seg_of(@SEGMENT_MAIN)
     MSTORE_GENERAL               // [trap]
     %charge_gas(3)
     EXIT_KERNEL
@@ -51,7 +64,8 @@ global sys_mstore8:
     PUSH 0xff
     AND                          // [trap, offset, byte]
     SWAP1                        // [trap, byte, offset]
-    PUSH @SEGMENT_BYTES
+    GET_CONTEXT
+    %seg_of(@SEGMENT_BYTES)
     MSTORE_GENERAL               // [trap]
     %charge_gas(3)
     EXIT_KERNEL
@@ -60,7 +74,8 @@ global sys_keccak256:
     // stack: len, offset, trap
     SWAP2                        // [trap, offset, len]
     SWAP1                        // [trap, len, offset]
-    PUSH @SEGMENT_BYTES
+    GET_CONTEXT
+    %seg_of(@SEGMENT_BYTES)
     KECCAK_GENERAL               // [trap, digest]
     SWAP1
     %charge_gas(30)

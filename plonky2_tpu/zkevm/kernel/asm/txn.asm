@@ -105,9 +105,10 @@ rtb_done:
     JUMP
 
 // build_txn_value(retdest) -> vptr: TRIE bytes-value holding the txn
-// RLP rlp([nonce, gas_price, 21000, to, value]) (legacy-txn reduction).
+// RLP rlp([nonce, gas_price, 21000, to, value, data]) (legacy-txn
+// reduction; data = the public calldata words in SEG_GLOBAL).
 global build_txn_value:
-    PUSH 10
+    PUSH 12
     %trie_alloc                  // [scratch, retdest]
     %mload_global(@GLOBAL_TXN_NONCE)
     %stack (nonce, scratch) -> (nonce, btv_1, scratch)
@@ -165,25 +166,71 @@ btv_5:
     %trie_write
     ADD
     %trie_write                  // [scratch, retdest]
-    %stack (scratch) -> (scratch, 5, btv_6)
+    // data item: the calldata bytes (big-endian packed SEG_GLOBAL words)
+    %mload_global(@GLOBAL_TXN_DATA_LEN)
+    DUP1
+    %rlp_alloc                   // [da, n, scratch, retdest]
+    PUSH 0                       // [i, da, n, scratch]
+btv_d_loop:
+    DUP3
+    DUP2
+    EQ
+    %jumpi(btv_d_done)
+    // byte i = BYTE(i & 31, GLOBAL[DATA_BASE + (i >> 5)])
+    DUP1
+    PUSH 5
+    SHR
+    PUSH @GLOBAL_TXN_DATA_BASE
+    ADD
+    PUSH @SEGMENT_GLOBAL
+    MLOAD_GENERAL                // [word, i, da, n, scratch]
+    DUP2
+    PUSH 31
+    AND
+    BYTE                         // [b, i, da, n, scratch]
+    %stack (b, i, da) -> (i, da, b, i, da)
+    ADD                          // [da+i, b, i, da]
+    %rlp_write                   // [i, da, n, scratch]
+    PUSH 1
+    ADD
+    %jump(btv_d_loop)
+btv_d_done:
+    // stack: i, da, n, scratch, retdest
+    %stack (i, da, n) -> (da, n, btv_d1)
+    %jump(rlp_wrap_string)
+btv_d1:
+    // stack: wa, wl, scratch, retdest
+    %stack (wa, wl, scratch) -> (scratch, 10, wa, scratch, 11, wl, scratch)
+    ADD
+    %trie_write
+    ADD
+    %trie_write                  // [scratch, retdest]
+    %stack (scratch) -> (scratch, 6, btv_6)
     %jump(cat_items)
 btv_6:
     // stack: addr, len, retdest
     %jump(rlp_to_trie_bytes)
 
-// build_receipt_value(retdest) -> vptr: rlp([status=1, 21000, []])
+// build_receipt_value(retdest) -> vptr: rlp([status, gas_used, []])
+// with status = 1 - @GLOBAL_TXN_FAILED (a contract REVERT/fault sets
+// the flag; fresh reads default to 0 = success) and gas_used = 21000 +
+// the executed frames' gas (@GLOBAL_GAS_USED)
 global build_receipt_value:
     PUSH 6
     %trie_alloc
+    %mload_global(@GLOBAL_TXN_FAILED)
     PUSH 1
-    %stack (one, scratch) -> (one, brv_1, scratch)
+    SUB                          // [status = 1 - failed, scratch]
+    %stack (st, scratch) -> (st, brv_1, scratch)
     %jump(rlp_scalar)
 brv_1:
     %stack (a, l, scratch) -> (scratch, a, scratch, 1, l, scratch)
     %trie_write
     ADD
     %trie_write
+    %mload_global(@GLOBAL_GAS_USED)
     PUSH 21000
+    ADD
     %stack (g, scratch) -> (g, brv_2, scratch)
     %jump(rlp_scalar)
 brv_2:
@@ -232,53 +279,98 @@ et_2:
     EQ
     ISZERO
     %jumpi(panic)                // nonce mismatch
-    // cost = value + gas_price * 21000
+    // upfront balance check: bal >= fee + value (process_txn.asm
+    // buy_gas + validation order)
     %mload_global(@GLOBAL_TXN_GASPRICE)
     PUSH 21000
     MUL                          // [fee, svptr]
     %mload_global(@GLOBAL_TXN_VALUE)
-    ADD                          // [cost, svptr]
     DUP2
+    ADD                          // [cost, fee, svptr]
+    DUP3
     PUSH 1
     ADD
-    %trie_read                   // [bal, cost, svptr]
+    %trie_read                   // [bal, cost, fee, svptr]
     DUP2
     DUP2
     LT                           // bal < cost ?
     %jumpi(panic)
-    SUB                          // [bal-cost, svptr]
+    // debit the fee + bump the nonce — these PERSIST even when the
+    // contract frame reverts (EVM: gas is paid, the nonce advances)
+    %stack (bal, cost, fee, svptr) -> (bal, fee, svptr, svptr)
+    SUB                          // [bal-fee, svptr, svptr]
     DUP2
     PUSH 1
-    ADD                          // [svptr+1, nb, svptr]
-    %trie_write                  // [svptr]
+    ADD
+    %trie_write                  // TRIE[svptr+1] = bal-fee ; [svptr, svptr]
     DUP1
-    %trie_read                   // [nonce, svptr]
+    %trie_read                   // [nonce, svptr, svptr]
     PUSH 1
     ADD
     SWAP1
-    %trie_write                  // TRIE[svptr] = nonce+1 ; [retdest]
-    // credit recipient with value
+    %trie_write                  // TRIE[svptr] = nonce+1 ; [svptr, retdest]
+    // checkpoint: everything journaled past here is undone by a
+    // contract REVERT/fault (journal/journal.asm %checkpoint)
+    %mload_global(@GLOBAL_JOURNAL_LEN)
+    %mstore_global(@GLOBAL_JOURNAL_CKPT)
+    // journaled value debit
+    DUP1
+    %journal_balance             // [svptr, retdest]
+    %mload_global(@GLOBAL_TXN_VALUE)
+    DUP2
+    PUSH 1
+    ADD
+    %trie_read                   // [bal, value, svptr, retdest]
+    SUB                          // [bal-value, svptr, retdest]
+    DUP2
+    PUSH 1
+    ADD
+    %trie_write                  // [svptr, retdest]
+    POP
+    // credit recipient with value (journaled when the account exists;
+    // reverting a CREATED account would need mpt_delete — see
+    // contract.asm journal note)
     %mload_global(@GLOBAL_TXN_TO)
     %stack (taddr) -> (taddr, et_3)
     %jump(addr_key)
 et_3:
     // stack: tkey, retdest
+    DUP1
+    %mload_global(@GLOBAL_STATE_TRIE_PTR)
+    %stack (state, tkey) -> (state, 64, tkey, et_3b)
+    %jump(mpt_read)
+et_3b:
+    // stack: tvptr, tkey, retdest
+    DUP1
+    ISZERO
+    %jumpi(et_3c)
+    %journal_balance
+    %jump(et_3d)
+et_3c:
+    POP
+et_3d:
+    // stack: tkey, retdest
+    DUP1
     %mload_global(@GLOBAL_TXN_VALUE)
     %stack (value, tkey) -> (tkey, value, et_4)
     %jump(credit_account)
 et_4:
-    // credit beneficiary with the fee
+    // stack: tkey, retdest — credit beneficiary with the fee
     %mload_global(@GLOBAL_BLOCK_BENEFICIARY)
     %stack (baddr) -> (baddr, et_5)
     %jump(addr_key)
 et_5:
-    // stack: bkey, retdest
+    // stack: bkey, tkey, retdest
     %mload_global(@GLOBAL_TXN_GASPRICE)
     PUSH 21000
     MUL
     %stack (fee, bkey) -> (bkey, fee, et_6)
     %jump(credit_account)
 et_6:
+    // stack: tkey, retdest — run the recipient's code, if any
+    %stack (tkey) -> (tkey, et_6b)
+    %jump(execute_contract)
+et_6b:
     // txn trie insert at key rlp(0) = 0x80 -> 2 nibbles (8, 0)
     PUSH et_7
     %jump(build_txn_value)

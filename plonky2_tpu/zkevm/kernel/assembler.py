@@ -35,6 +35,11 @@ MNEMONICS.update({
     # signed-arithmetic syscalls (kernel/asm/signed.asm)
     "SDIV": 0x05, "SMOD": 0x07, "SIGNEXTEND": 0x0B,
     "SLT": 0x12, "SGT": 0x13, "SAR": 0x1D,
+    # contract-frame syscalls (kernel/asm/contract.asm) + INVALID
+    "ADDRESS": 0x30, "CALLER": 0x33, "CALLVALUE": 0x34,
+    "CALLDATALOAD": 0x35, "CALLDATASIZE": 0x36,
+    "SLOAD": 0x54, "SSTORE": 0x55,
+    "RETURN": 0xF3, "REVERT": 0xFD, "INVALID": 0xFE,
 })
 for _i in range(16):
     MNEMONICS[f"DUP{_i + 1}"] = 0x80 + _i

@@ -14,10 +14,14 @@ Differences from the reference, by design (word-granular TPU machine):
   instruction, so all PUSH1..PUSH32 (0x60..0x7f) decode to one `push`
   flag whose value is the immediate word (the reference reads n code
   bytes instead);
-- single execution context: the `get_context`/`set_context` pair is
-  replaced by a kernel-only GET_SP introspection op (0xf6), and
-  `mload_general`/`mstore_general` take (segment, virt) instead of
-  (context, segment, virt);
+- execution contexts (round 4): `get_context` (0xf4) / `set_context`
+  (0xf5) are kernel-only natives; SET_CONTEXT hardware-swaps SP through
+  the per-context metadata slot (ctx, SEG_CTX_META, META_SP) like the
+  reference's stack-length bookkeeping (cpu/contextops.rs).  General
+  memory ops keep their (segword, virt) operand shape: the CONTEXT of
+  the access rides limb 1 of the segment word (segword = ctx<<32 | seg),
+  so kernel code addressing context 0 is unchanged and cross-context
+  copies need no context switching;
 - STOP (0x00) is the kernel-only native `halt`; user STOP traps to the
   kernel like any syscall (reference halts via a kernel jump loop,
   control_flow.rs:52).
@@ -95,6 +99,8 @@ NATIVE_OPS = (
     _op("push", 0x60, G_VERYLOW, 0, True, bits=5),
     _op("dup", 0x80, G_VERYLOW, 0, True, bits=4),
     _op("swap", 0x90, G_VERYLOW, 0, False, bits=4),
+    _op("get_context", 0xF4, KERNEL_ONLY, 0, True, kernel=True),
+    _op("set_context", 0xF5, KERNEL_ONLY, 1, False, kernel=True),
     _op("get_sp", 0xF6, KERNEL_ONLY, 0, True, kernel=True),
     _op("exit_kernel", 0xF9, None, 1, False, kernel=True),
     _op("mload_general", 0xFB, KERNEL_ONLY, 2, True, kernel=True),
@@ -160,4 +166,19 @@ SYSCALL_MIN_STACK = {
     0x52: 2,   # MSTORE(addr, value)
     0x53: 2,   # MSTORE8(addr, byte)
     0x5A: 0,   # GAS
+    # signed arithmetic (kernel/asm/signed.asm); without these entries
+    # min_stack_len returns 0 and a 1-item SDIV would run the handler
+    # against whatever sits below instead of EXC_STACK_UNDERFLOW
+    0x05: 2,   # SDIV(a, b)
+    0x07: 2,   # SMOD(a, b)
+    0x0B: 2,   # SIGNEXTEND(k, value)
+    0x12: 2,   # SLT(a, b)
+    0x13: 2,   # SGT(a, b)
+    0x1D: 2,   # SAR(shift, value)
+    # contract-frame syscalls (kernel/asm/contract.asm)
+    0x35: 1,   # CALLDATALOAD(i)
+    0x54: 1,   # SLOAD(slot)
+    0x55: 2,   # SSTORE(slot, value)
+    0xF3: 2,   # RETURN(offset, len)
+    0xFD: 2,   # REVERT(offset, len)
 }

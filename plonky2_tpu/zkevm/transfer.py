@@ -28,8 +28,9 @@ from .kernel.aggregator import (GLOBAL_BLOCK_BASE_FEE,
                                 GLOBAL_RECEIPT_ROOT_BEFORE,
                                 GLOBAL_STATE_ROOT_AFTER,
                                 GLOBAL_STATE_ROOT_BEFORE,
-                                GLOBAL_TXN_COUNT, GLOBAL_TXN_GASPRICE, GLOBAL_TXN_NONCE,
-                                GLOBAL_TXN_ROOT_AFTER,
+                                GLOBAL_TXN_COUNT, GLOBAL_TXN_DATA_BASE,
+                                GLOBAL_TXN_DATA_LEN, GLOBAL_TXN_GASPRICE,
+                                GLOBAL_TXN_NONCE, GLOBAL_TXN_ROOT_AFTER,
                                 GLOBAL_TXN_ROOT_BEFORE, GLOBAL_TXN_SENDER,
                                 GLOBAL_TXN_TO, GLOBAL_TXN_VALUE,
                                 build_kernel)
@@ -56,33 +57,45 @@ class BlockMetadata:
 @dataclass(frozen=True)
 class Transfer:
     """The reduced signed-txn payload (sender is a public input; see
-    module docstring)."""
+    module docstring).  `data` is the call payload (calldata) — public
+    via the SEG_GLOBAL image words and part of the txn RLP."""
 
     sender: bytes
     to: bytes
     value: int
     nonce: int = 0
     gas_price: int = 0
+    data: bytes = b""
 
     def rlp(self) -> bytes:
         """The txn-trie entry the kernel builds (txn.asm
-        build_txn_value): rlp([nonce, gas_price, 21000, to, value])."""
+        build_txn_value): rlp([nonce, gas_price, 21000, to, value,
+        data]) (legacy-txn reduction)."""
         return rlp.encode([self.nonce, self.gas_price, TXN_GAS, self.to,
-                           self.value])
+                           self.value, self.data])
 
-    def receipt_rlp(self) -> bytes:
-        return rlp.encode([1, TXN_GAS, []])
+    def receipt_rlp(self, status: int = 1, gas_used: int = TXN_GAS) -> bytes:
+        """rlp([status, gas_used, []]) (txn.asm build_receipt_value)."""
+        return rlp.encode([status, gas_used, []])
 
 
 @dataclass
 class GenerationInputs:
     """(generation/mod.rs:39); txn=None is an empty block
     (evm/tests/empty_txn_list.rs): nothing executes and the after-roots
-    must equal the before-roots."""
+    must equal the before-roots.
+
+    contract_code maps code_hash (32 bytes) -> word-machine code (a
+    list of (opcode, immediate) pairs) — the reference's
+    `contract_code: HashMap<H256, Vec<u8>>`.  When the txn recipient's
+    account carries code, the kernel loads it from the prover-input
+    stream and verifies its keccak against the account's code_hash
+    (kernel/asm/contract.asm load_contract_code)."""
 
     txn: Transfer | None
     tries: mpt.TrieInputs = field(default_factory=mpt.TrieInputs)
     block_metadata: BlockMetadata = field(default_factory=BlockMetadata)
+    contract_code: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -100,6 +113,36 @@ class PublicValues:
     trie_roots_after: TrieRoots
     block_metadata: BlockMetadata
     txn: Transfer | None
+
+
+def code_serialization(code: list) -> bytes:
+    """The hashed byte form of word-machine code: 33 bytes per
+    instruction — opcode byte + immediate as 32 big-endian bytes
+    (contract.asm module note)."""
+    return b"".join(bytes([op]) + (imm & ((1 << 256) - 1)).to_bytes(32, "big")
+                    for op, imm in code)
+
+
+def code_hash(code: list) -> bytes:
+    from ..hash.keccak import keccak256
+    return keccak256(code_serialization(code))
+
+
+def code_prover_inputs(code: list) -> list:
+    """The prover-input words load_contract_code consumes: count, then
+    (opcode, immediate) per instruction."""
+    return [len(code)] + [x for op, imm in code for x in (op, imm)]
+
+
+def _contract_inputs(inputs: GenerationInputs) -> list:
+    """Prover inputs for the recipient's code, when it has any."""
+    txn = inputs.txn
+    if txn is None:
+        return []
+    acct = _get_account(inputs.tries.state_trie, txn.to)
+    if acct is None or acct.code_hash == mpt.EMPTY_CODE_HASH:
+        return []
+    return code_prover_inputs(inputs.contract_code[acct.code_hash])
 
 
 def _get_account(state, address: bytes) -> mpt.Account | None:
@@ -148,18 +191,50 @@ def apply_transfer(inputs: GenerationInputs) -> mpt.TrieInputs:
 
 
 def public_values(inputs: GenerationInputs) -> PublicValues:
-    after = apply_transfer(inputs)
-    return PublicValues(
-        trie_roots_before=TrieRoots(
-            mpt.trie_hash(inputs.tries.state_trie),
-            mpt.trie_hash(inputs.tries.transactions_trie),
-            mpt.trie_hash(inputs.tries.receipts_trie)),
-        trie_roots_after=TrieRoots(
-            mpt.trie_hash(after.state_trie),
-            mpt.trie_hash(after.transactions_trie),
-            mpt.trie_hash(after.receipts_trie)),
-        block_metadata=inputs.block_metadata,
-        txn=inputs.txn)
+    """The proof's public values.  For plain transfers the after-roots
+    come from the pure-host twin (apply_transfer); for contract blocks
+    (inputs.contract_code nonempty) the kernel itself is the semantics,
+    so a fast untraced DRY-RUN simulation computes them: check_root
+    publishes the computed roots into the after slots instead of
+    checking (mpt.asm cr_store), and this function reads them back from
+    the simulator's memory.  The real proof then runs with DRY_RUN = 0
+    and the published roots as its claimed (checked) public inputs."""
+    before = TrieRoots(
+        mpt.trie_hash(inputs.tries.state_trie),
+        mpt.trie_hash(inputs.tries.transactions_trie),
+        mpt.trie_hash(inputs.tries.receipts_trie))
+    if not inputs.contract_code:
+        after_t = apply_transfer(inputs)
+        after = TrieRoots(
+            mpt.trie_hash(after_t.state_trie),
+            mpt.trie_hash(after_t.transactions_trie),
+            mpt.trie_hash(after_t.receipts_trie))
+        return PublicValues(before, after, inputs.block_metadata,
+                            inputs.txn)
+
+    from ..field import gl64  # noqa: F401  (import parity; not used)
+    from .cpu import SEG_GLOBAL
+    from .generation import Simulator
+    from .kernel.aggregator import GLOBAL_DRY_RUN
+    provisional = PublicValues(before, before, inputs.block_metadata,
+                               inputs.txn)
+    gv = global_values_for(provisional)
+    gv[GLOBAL_DRY_RUN] = 1
+    sim = Simulator(
+        kernel=txn_kernel(), global_values=gv,
+        prover_inputs=(mpt.state_prover_inputs(inputs.tries)
+                       + _contract_inputs(inputs)),
+        max_cycles=4_000_000, trace=False)
+    sim.run()
+    assert sim.exc_status == 0, "dry run faulted"
+
+    def root(slot):
+        return int(sim.memory[(0, SEG_GLOBAL, slot)]).to_bytes(32, "big")
+
+    after = TrieRoots(root(GLOBAL_STATE_ROOT_AFTER),
+                      root(GLOBAL_TXN_ROOT_AFTER),
+                      root(GLOBAL_RECEIPT_ROOT_AFTER))
+    return PublicValues(before, after, inputs.block_metadata, inputs.txn)
 
 
 def _be(b: bytes) -> int:
@@ -192,6 +267,11 @@ def global_values_for(pv: PublicValues) -> dict:
         GLOBAL_TXN_VALUE: txn.value,
         GLOBAL_TXN_NONCE: txn.nonce,
         GLOBAL_TXN_GASPRICE: txn.gas_price,
+        GLOBAL_TXN_DATA_LEN: len(txn.data),
+        # calldata words, 32 bytes each, big-endian, zero-padded right
+        **{GLOBAL_TXN_DATA_BASE + j:
+           _be(txn.data[32 * j:32 * j + 32].ljust(32, b"\x00"))
+           for j in range(-(-len(txn.data) // 32))},
     }
 
 
@@ -214,14 +294,16 @@ def simulate_transfer(inputs: GenerationInputs, trace: bool = True,
     pv = public_values(inputs)
     sim = Simulator(
         kernel=txn_kernel(), global_values=global_values_for(pv),
-        prover_inputs=mpt.state_prover_inputs(inputs.tries),
+        prover_inputs=(mpt.state_prover_inputs(inputs.tries)
+                       + _contract_inputs(inputs)),
         max_cycles=max_cycles, trace=trace)
     sim.run()
     assert sim.exc_status == 0
     return sim, pv
 
 
-def prove_transfer(inputs: GenerationInputs, config: StarkConfig = None):
+def prove_transfer(inputs: GenerationInputs, config: StarkConfig = None,
+                   arith_limb_bits: int = 16):
     """simple_transfer.rs:29 equivalent: prove one transfer block
     through the full multi-table pipeline; returns
     (proof, starks, ctls, public_values)."""
@@ -229,8 +311,9 @@ def prove_transfer(inputs: GenerationInputs, config: StarkConfig = None):
     pv = public_values(inputs)
     proof, starks, ctls, sim = prove_program(
         kernel=txn_kernel(), global_values=global_values_for(pv),
-        prover_inputs=mpt.state_prover_inputs(inputs.tries),
-        config=config)
+        prover_inputs=(mpt.state_prover_inputs(inputs.tries)
+                       + _contract_inputs(inputs)),
+        config=config, arith_limb_bits=arith_limb_bits)
     return proof, starks, ctls, pv
 
 

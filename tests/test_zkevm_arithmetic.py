@@ -113,8 +113,10 @@ def test_arithmetic_trace_exports_results():
     filt = gl64.to_canonical(stark.ctl_filter().eval_rows(trace))
     rows = np.nonzero(filt)[0]
     assert len(rows) == len(ops)
-    n2 = stark.n_limbs // 2
-    w = 2 * stark.limb_bits
+    # bus values are always 32-bit groups (limb-width-invariant CTL)
+    group = 32 // stark.limb_bits
+    n2 = stark.n_limbs // group
+    w = 32
     for r, op in zip(rows, ops):
         flags = exported[:len(ALL_OPS), r]
         assert flags[list(ALL_OPS).index(op.op)] == 1 and flags.sum() == 1

@@ -1,0 +1,229 @@
+"""Contract execution in a sub-context: calldata, storage, RETURN /
+REVERT / fault semantics with journal rollback, and the deploy-and-call
+proof (reference evm/tests/basic_smart_contract.rs + journal/revert.asm
+semantics; kernel side in kernel/asm/contract.asm)."""
+
+import numpy as np
+import pytest
+
+from plonky2_tpu.hash.keccak import keccak256
+from plonky2_tpu.zkevm import mpt, rlp
+from plonky2_tpu.zkevm.cpu import SEG_GLOBAL
+from plonky2_tpu.zkevm.kernel import assemble
+from plonky2_tpu.zkevm.kernel.aggregator import (GLOBAL_GAS_USED,
+                                                 GLOBAL_RETURNDATA_LEN,
+                                                 GLOBAL_TXN_FAILED)
+from plonky2_tpu.zkevm.transfer import (BlockMetadata, GenerationInputs,
+                                        TXN_GAS, Transfer, code_hash,
+                                        simulate_transfer)
+
+SENDER = bytes([0xAA]) * 20
+CONTRACT = bytes([0xBB]) * 20
+BENEFICIARY = bytes([0xCC]) * 20
+GAS_PRICE = 2
+
+
+def contract_asm(src: str) -> list:
+    """Contract code assembles against load address 0: it runs at
+    (child_ctx, SEG_CODE, pc) from pc 0."""
+    return assemble([src], base=0)[0]
+
+
+def storage_with(slots: dict):
+    t = mpt.Empty()
+    for slot, val in slots.items():
+        key = mpt.bytes_to_nibbles(keccak256(slot.to_bytes(32, "big")))
+        t = mpt.trie_insert(t, key, rlp.encode(val))
+    return t
+
+
+def make_inputs(code: list, txn_value=5, data=b"", slots={7: 42},
+                contract_balance=1000):
+    chash = code_hash(code)
+    storage = storage_with(slots)
+    state = mpt.Empty()
+    state = mpt.trie_insert(state, mpt.state_key(SENDER),
+                            mpt.Account(nonce=3, balance=10 ** 18).encode())
+    state = mpt.trie_insert(
+        state, mpt.state_key(CONTRACT),
+        mpt.Account(nonce=1, balance=contract_balance,
+                    storage_root=mpt.trie_hash(storage),
+                    code_hash=chash).encode())
+    txn = Transfer(sender=SENDER, to=CONTRACT, value=txn_value, nonce=3,
+                   gas_price=GAS_PRICE, data=data)
+    tries = mpt.TrieInputs(
+        state_trie=state,
+        storage_tries=[(mpt.state_key(CONTRACT), storage)])
+    return GenerationInputs(
+        txn, tries, BlockMetadata(beneficiary=BENEFICIARY),
+        contract_code={chash: code})
+
+
+def expected_after_state(inputs, contract_slots, txn_reverted):
+    """Host-built post-state trie (the independent cross-check of the
+    kernel's dry-run-published root)."""
+    txn = inputs.txn
+    fee = txn.gas_price * TXN_GAS
+    value = 0 if txn_reverted else txn.value
+    storage = storage_with(contract_slots)
+    state = mpt.Empty()
+    state = mpt.trie_insert(
+        state, mpt.state_key(SENDER),
+        mpt.Account(nonce=4, balance=10 ** 18 - fee - value).encode())
+    chash = next(iter(inputs.contract_code))
+    state = mpt.trie_insert(
+        state, mpt.state_key(CONTRACT),
+        mpt.Account(nonce=1, balance=1000 + value,
+                    storage_root=mpt.trie_hash(storage),
+                    code_hash=chash).encode())
+    state = mpt.trie_insert(
+        state, mpt.state_key(BENEFICIARY),
+        mpt.Account(balance=fee).encode())
+    return mpt.trie_hash(state)
+
+
+def expected_txn_receipt_roots(txn, status, gas_used):
+    key0 = mpt.bytes_to_nibbles(rlp.encode(0))
+    txn_root = mpt.trie_hash(mpt.trie_insert(mpt.Empty(), key0, txn.rlp()))
+    receipt = rlp.encode([status, TXN_GAS + gas_used, []])
+    receipt_root = mpt.trie_hash(mpt.trie_insert(mpt.Empty(), key0, receipt))
+    return txn_root, receipt_root
+
+
+def test_contract_sstore_calldata_and_stop():
+    """The contract stores CALLDATALOAD(0) + CALLVALUE into slot 7 and
+    STOPs; the kernel-computed after-roots must equal the host-built
+    expected tries."""
+    code = contract_asm("""
+global ctr_main:
+    PUSH 0
+    CALLDATALOAD      // [x]
+    CALLVALUE
+    ADD               // [x + value]
+    PUSH 7
+    SSTORE            // storage[7] = x + value
+    STOP
+""")
+    x = 0xDEAD_BEEF_0000_0001
+    inputs = make_inputs(code, txn_value=5, data=x.to_bytes(32, "big"))
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    gas = sim.memory.get((0, SEG_GLOBAL, GLOBAL_GAS_USED), 0)
+    assert gas > 0
+
+    want_state = expected_after_state(inputs, {7: x + 5},
+                                      txn_reverted=False)
+    assert pv.trie_roots_after.state == want_state
+    want_txn, want_rcpt = expected_txn_receipt_roots(inputs.txn, 1, gas)
+    assert pv.trie_roots_after.transactions == want_txn
+    assert pv.trie_roots_after.receipts == want_rcpt
+
+
+def test_contract_return_with_returndata():
+    """RETURN copies (ctx, SEG_BYTES) into the parent's returndata."""
+    code = contract_asm("""
+global ctr_main:
+    PUSH 0x61
+    PUSH 0
+    MSTORE8
+    PUSH 0x62
+    PUSH 1
+    MSTORE8
+    PUSH 2            // len
+    PUSH 0            // offset (top)
+    RETURN
+""")
+    inputs = make_inputs(code, data=b"")
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_RETURNDATA_LEN), 0) == 2
+    from plonky2_tpu.zkevm.cpu import SEG_RETURNDATA
+    assert sim.memory.get((0, SEG_RETURNDATA, 0), 0) == 0x61
+    assert sim.memory.get((0, SEG_RETURNDATA, 1), 0) == 0x62
+
+
+def test_contract_revert_rolls_back():
+    """REVERT undoes the SSTOREs AND the value transfer, but the fee and
+    the nonce bump persist and the receipt status is 0
+    (journal/revert.asm semantics)."""
+    code = contract_asm("""
+global ctr_main:
+    PUSH 99
+    PUSH 7
+    SSTORE            // storage[7] = 99 (will be rolled back to 42)
+    PUSH 0
+    PUSH 0
+    REVERT
+""")
+    inputs = make_inputs(code)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 1
+    gas = sim.memory.get((0, SEG_GLOBAL, GLOBAL_GAS_USED), 0)
+
+    want_state = expected_after_state(inputs, {7: 42}, txn_reverted=True)
+    assert pv.trie_roots_after.state == want_state
+    want_txn, want_rcpt = expected_txn_receipt_roots(inputs.txn, 0, gas)
+    assert pv.trie_roots_after.transactions == want_txn
+    assert pv.trie_roots_after.receipts == want_rcpt
+
+
+def test_contract_fault_fails_txn():
+    """A user fault in the contract frame (invalid opcode) fails the
+    transaction like REVERT — the block still proves (fault_exception's
+    contract path), it does NOT halt with exc_status."""
+    code = contract_asm("""
+global ctr_main:
+    PUSH 77
+    PUSH 7
+    SSTORE
+    INVALID
+""")
+    inputs = make_inputs(code)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.exc_status == 0          # the BLOCK is fine
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 1
+    want_state = expected_after_state(inputs, {7: 42}, txn_reverted=True)
+    assert pv.trie_roots_after.state == want_state
+
+
+def test_contract_sload_and_caller():
+    """SLOAD reads the pre-seeded slot; CALLER/ADDRESS/CALLDATASIZE
+    return the txn environment; results land in storage for checking."""
+    code = contract_asm("""
+global ctr_main:
+    PUSH 7
+    SLOAD             // [42]
+    PUSH 1
+    SSTORE            // storage[1] = 42
+    CALLER
+    PUSH 2
+    SSTORE            // storage[2] = sender
+    ADDRESS
+    PUSH 3
+    SSTORE            // storage[3] = contract address
+    CALLDATASIZE
+    PUSH 4
+    SSTORE            // storage[4] = 3
+    STOP
+""")
+    inputs = make_inputs(code, data=b"abc")
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    want_state = expected_after_state(
+        inputs,
+        {7: 42, 1: 42, 2: int.from_bytes(SENDER, "big"),
+         3: int.from_bytes(CONTRACT, "big"), 4: 3},
+        txn_reverted=False)
+    assert pv.trie_roots_after.state == want_state
+
+
+def test_wrong_code_panics():
+    """Code whose keccak does not match the account's code_hash must be
+    unprovable (load_contract_code panics -> the sim never halts)."""
+    code = contract_asm("global ctr_main:\n STOP\n")
+    inputs = make_inputs(code)
+    forged = contract_asm("global ctr_main:\n PUSH 1\n PUSH 7\n"
+                          " SSTORE\n STOP\n")
+    inputs.contract_code = {code_hash(code): forged}
+    with pytest.raises((RuntimeError, AssertionError)):
+        simulate_transfer(inputs)

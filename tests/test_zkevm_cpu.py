@@ -181,7 +181,7 @@ loop:
     STOP
 """)
     assert sim.final_stack == [15]
-    assert sim.memory[(SEG_MAIN, 0)] == 15
+    assert sim.memory[(0, SEG_MAIN, 0)] == 15
 
 
 def test_exp_and_gas_syscalls():
@@ -396,8 +396,11 @@ def test_prove_verify_with_rom_binding():
     src = ("global user_main:\n PUSH 5\n PUSH 3\n AND\n PUSH 2\n OR\n"
            " STOP\n")
     code = asm(src)
-    proof, starks, ctls, sim = prove_program(code,
-                                             include_arithmetic=False)
+    # sys_stop's gas-limit check runs a GT, so every halting program now
+    # touches the arithmetic table — it cannot be excluded.  8-bit limbs
+    # keep its range table at 256 rows (a 2^16-row table takes ~25 min
+    # to prove on the 1-core CPU backend; the CTL bus is width-invariant)
+    proof, starks, ctls, sim = prove_program(code, arith_limb_bits=8)
     assert sim.final_stack == [(5 & 3) | 2]
     verify_program_proof(starks, ctls, proof, user_code=code)
     # a different public program must be rejected
@@ -507,3 +510,16 @@ global user_main:
         got = sim.final_stack[-1]
         assert got == expect, (name, hex(s2u(top)), hex(s2u(second)),
                                hex(got), hex(expect))
+
+
+@pytest.mark.parametrize("name", ["SDIV", "SMOD", "SIGNEXTEND", "SLT",
+                                  "SGT", "SAR"])
+def test_signed_syscall_stack_underflow(name):
+    """A signed-arithmetic syscall on an empty or 1-item stack must trap
+    EXC_STACK_UNDERFLOW, not run the handler against whatever sits below
+    (SYSCALL_MIN_STACK entries; reference asm/core/exception.asm
+    min_stack_len table)."""
+    sim = run(f"global user_main:\n {name}\n STOP\n")
+    assert sim.exc_status == 1
+    sim = run(f"global user_main:\n PUSH 1\n {name}\n STOP\n")
+    assert sim.exc_status == 1

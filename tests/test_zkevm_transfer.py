@@ -133,7 +133,7 @@ def test_kernel_mpt_read_matches_host():
     for i, q in enumerate(queries):
         want = mpt.trie_get(t, q)
         want = rlp.decode_int(rlp.decode(want)) + 1 if want is not None else 0
-        assert sim.memory.get((SEG_MAIN, i), 0) == want, (i, q)
+        assert sim.memory.get((0, SEG_MAIN, i), 0) == want, (i, q)
 
 
 @pytest.mark.parametrize("case", ["fresh", "split", "deep"])
