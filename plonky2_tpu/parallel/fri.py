@@ -25,7 +25,7 @@ to fri/prover.py fri_committed_trees (tests/test_sharded_fri.py).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -139,6 +139,56 @@ class ShardedMerkleTree:
         return _gather_rows(self._leaves, np.array([leaf_index]))[0]
 
 
+@lru_cache(maxsize=None)
+def _fri_commit_fn(mesh, axis: str, arity: int, local_levels: int,
+                   top_levels: int):
+    """Memoized commit program (see stark_prover._commit_fn rationale:
+    a fresh closure per round would re-pay tracing + SPMD lowering)."""
+
+    @partial(shard_map, mesh=mesh, in_specs=(PSpec(axis),),
+             out_specs=(PSpec(None, None), PSpec(axis, None),
+                        tuple(PSpec(axis, None)
+                              for _ in range(local_levels + 1))))
+    def commit(v: GF2):
+        leaves = _flatten_ext_leaves(v, arity)      # (rows/nd, 2*arity)
+        digests = hash_or_noop(leaves)
+        levels = [digests]
+        cur = digests
+        for _ in range(local_levels):
+            cur = compress(cur[0::2, :], cur[1::2, :])
+            levels.append(cur)
+        roots = GF(jax.lax.all_gather(cur.lo, axis, axis=0, tiled=True),
+                   jax.lax.all_gather(cur.hi, axis, axis=0, tiled=True))
+        for _ in range(top_levels):
+            roots = compress(roots[0::2, :], roots[1::2, :])
+        return roots, leaves, tuple(levels)
+
+    return jax.jit(commit)  # jit: persistent-cache the SPMD executable
+
+
+@lru_cache(maxsize=None)
+def _fri_fold_fn(mesh, axis: str, arity_bits: int):
+    inv2 = pow(2, P - 2, P)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(PSpec(axis), PSpec(None), PSpec(None))
+             + tuple(PSpec(axis) for _ in range(arity_bits)),
+             out_specs=PSpec(axis))
+    def fold(v: GF2, ba: GF, bb: GF, *tab_blks):
+        inv2_c = GF.full((), inv2)
+        for j in range(arity_bits):
+            even = v[0::2]
+            odd = v[1::2]
+            half_sum = GF2((even.a + odd.a) * inv2_c,
+                           (even.b + odd.b) * inv2_c)
+            diff = even - odd  # table already carries the 1/2: 1/(2x_m)
+            beta = GF2(ba[j], bb[j])
+            v = half_sum + diff * tab_blks[j] * beta
+        return v
+
+    return jax.jit(fold)
+
+
 def sharded_fri_committed_trees(values: GF2, challenger: Challenger,
                                 fri_params, mesh, axis: str = "d",
                                 device_trees: bool = False):
@@ -172,24 +222,7 @@ def sharded_fri_committed_trees(values: GF2, challenger: Challenger,
                            log2_strict(local_rows))
         top_levels = (log2_strict(n // arity) - cap_height) - local_levels
 
-        @partial(shard_map, mesh=mesh, in_specs=(PSpec(axis),),
-                 out_specs=(PSpec(None, None), PSpec(axis, None),
-                            tuple(PSpec(axis, None)
-                                  for _ in range(local_levels + 1))))
-        def commit(v: GF2):
-            leaves = _flatten_ext_leaves(v, arity)      # (rows/nd, 2*arity)
-            digests = hash_or_noop(leaves)
-            levels = [digests]
-            cur = digests
-            for _ in range(local_levels):
-                cur = compress(cur[0::2, :], cur[1::2, :])
-                levels.append(cur)
-            roots = GF(jax.lax.all_gather(cur.lo, axis, axis=0, tiled=True),
-                       jax.lax.all_gather(cur.hi, axis, axis=0, tiled=True))
-            for _ in range(top_levels):
-                roots = compress(roots[0::2, :], roots[1::2, :])
-            return roots, leaves, tuple(levels)
-
+        commit = _fri_commit_fn(mesh, axis, arity, local_levels, top_levels)
         cap_gf, leaves, levels = commit(blk)
         cap = np.asarray(cap_gf.to_u64())
 
@@ -234,34 +267,23 @@ def sharded_fri_committed_trees(values: GF2, challenger: Challenger,
 
         # value-domain fold: arity_bits local radix-2 stages with beta^(2^j)
         tabs = _fold_tables(log_n, shift, arity_bits)
-        betas = []
+        betas_np = np.zeros((arity_bits, 2), np.uint64)
         b = GF2.from_u64_pair(beta_np[0], beta_np[1])
-        for _ in range(arity_bits):
-            betas.append(b)
+        for j in range(arity_bits):
+            betas_np[j] = b.to_u64()
             b = b * b
+        ba = GF.from_u64(np.ascontiguousarray(betas_np[:, 0]))
+        bb = GF.from_u64(np.ascontiguousarray(betas_np[:, 1]))
 
         tab_shards = [GF2(_shard_vec(GF.from_u64(t), mesh, axis),
                           _shard_vec(GF.zeros(t.shape), mesh, axis))
                       for t in tabs]
-        inv2 = GF.full((), pow(2, P - 2, P))
-
-        @partial(shard_map, mesh=mesh,
-                 in_specs=(PSpec(axis),) + tuple(PSpec(axis)
-                                                 for _ in tabs),
-                 out_specs=PSpec(axis))
-        def fold(v: GF2, *tab_blks):
-            for j in range(arity_bits):
-                even = v[0::2]
-                odd = v[1::2]
-                half_sum = GF2((even.a + odd.a) * inv2,
-                               (even.b + odd.b) * inv2)
-                diff = even - odd  # table already carries the 1/2: 1/(2x_m)
-                v = half_sum + diff * tab_blks[j] * betas[j]
-            return v
 
         # each stage's table is sized for that stage's layer; pass them as
-        # separate sharded vectors (stage j table has n/2^(j+1) entries)
-        blk = fold(blk, *tab_shards)
+        # separate sharded vectors (stage j table has n/2^(j+1) entries);
+        # the betas ride as traced scalars so the fold program is
+        # challenge-independent and its trace is reused across rounds
+        blk = _fri_fold_fn(mesh, axis, arity_bits)(blk, ba, bb, *tab_shards)
         n //= arity
         shift = pow(shift, arity, P)
 

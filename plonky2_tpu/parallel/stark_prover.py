@@ -33,7 +33,7 @@ Sharding layout per phase:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -87,18 +87,28 @@ class ShardedPolynomialBatch:
         (num_polys, 2) canonical u64 — identical to the single-chip
         eval_polys_at_ext(...).to_u64() (each poly lives wholly on one
         device, so the per-poly reduction order is unchanged)."""
-        axis = self.axis
-
-        @partial(shard_map, mesh=self.mesh,
-                 in_specs=(PSpec(axis, None), PSpec(None), PSpec(None)),
-                 out_specs=(PSpec(axis), PSpec(axis)))
-        def ev(blk: GF, za: GF, zb: GF):
-            r = eval_polys_at_ext(blk, GF2(za, zb))
-            return r.a, r.b
-
-        a, b = ev(self.coeffs_sharded, zpow.a, zpow.b)
+        a, b = _eval_fn(self.mesh, self.axis)(self.coeffs_sharded,
+                                              zpow.a, zpow.b)
         out = GF2(a, b).to_u64()  # gathers + canonicalises
         return out[: self.num_polys]
+
+
+# The shard_map-wrapped programs are memoized on their STATIC parameters:
+# a fresh closure per call would defeat jax's dispatch cache and re-pay
+# Python tracing + SPMD lowering (~tens of seconds per program on a
+# 1-core driver host) for every same-shaped call — the trace, Z, and
+# quotient oracles usually pad to identical shapes and share one trace.
+
+@lru_cache(maxsize=None)
+def _eval_fn(mesh, axis: str):
+    @partial(shard_map, mesh=mesh,
+             in_specs=(PSpec(axis, None), PSpec(None), PSpec(None)),
+             out_specs=(PSpec(axis), PSpec(axis)))
+    def ev(blk: GF, za: GF, zb: GF):
+        r = eval_polys_at_ext(blk, GF2(za, zb))
+        return r.a, r.b
+
+    return jax.jit(ev)  # jit: persistent-cache the SPMD executable
 
 
 def sharded_batch_commit(values: GF, rate_bits: int, cap_height: int,
@@ -119,6 +129,33 @@ def sharded_batch_commit(values: GF, rate_bits: int, cap_height: int,
     bits = log2_strict(big_n)
     local_rows = big_n // nd
     assert local_rows >= 1, "mesh out-numbers the LDE rows"
+    local_levels = min(bits - cap_height, log2_strict(local_rows))
+    top_levels = (bits - cap_height) - local_levels
+
+    commit = _commit_fn(mesh, axis, k, n, rate_bits, cap_height,
+                        from_coeffs, quotient_step)
+    res = commit(shard_polys(values, mesh, axis))
+    cap_gf, leaves, levels, coeffs = res[:4]
+    strided = res[4] if quotient_step else None
+    cap_np = np.asarray(cap_gf.to_u64())
+    # host levels strictly above the sharded ones (<= nd*2^cap_height rows)
+    top = []
+    cur = np.asarray(levels[-1].to_u64())
+    for _ in range(top_levels):
+        cur = compress_np(cur[0::2], cur[1::2])
+        top.append(cur)
+    tree = ShardedMerkleTree(cap_height, k, leaves, list(levels), top, cap_np)
+    return ShardedPolynomialBatch(coeffs, k, tree, log2_strict(n), rate_bits,
+                                  mesh, axis, strided)
+
+
+@lru_cache(maxsize=None)
+def _commit_fn(mesh, axis: str, k: int, n: int, rate_bits: int,
+               cap_height: int, from_coeffs: bool, quotient_step: int):
+    nd = mesh.devices.size
+    big_n = n << rate_bits
+    bits = log2_strict(big_n)
+    local_rows = big_n // nd
     perm = reverse_index_bits_perm(big_n)
     local_levels = min(bits - cap_height, log2_strict(local_rows))
     top_levels = (bits - cap_height) - local_levels
@@ -164,29 +201,11 @@ def sharded_batch_commit(values: GF, rate_bits: int, cap_height: int,
             outs = outs + (strided,)
         return outs
 
-    res = commit(shard_polys(values, mesh, axis))
-    cap_gf, leaves, levels, coeffs = res[:4]
-    strided = res[4] if quotient_step else None
-    cap_np = np.asarray(cap_gf.to_u64())
-    # host levels strictly above the sharded ones (<= nd*2^cap_height rows)
-    top = []
-    cur = np.asarray(levels[-1].to_u64())
-    for _ in range(top_levels):
-        cur = compress_np(cur[0::2], cur[1::2])
-        top.append(cur)
-    tree = ShardedMerkleTree(cap_height, k, leaves, list(levels), top, cap_np)
-    return ShardedPolynomialBatch(coeffs, k, tree, log2_strict(n), rate_bits,
-                                  mesh, axis, strided)
+    return jax.jit(commit)
 
 
-def _sharded_weighted_sum(coeffs: GF, w_np: np.ndarray, mesh,
-                          axis: str) -> GF2:
-    """sum_j w[j] * coeffs[j] with extension weights, coeffs poly-sharded:
-    per-device partial sums, then a gathered log-depth GF tree-sum —
-    value-identical to the single-chip (polys * apow).sum(axis=0)."""
-    wa = GF.from_u64(np.ascontiguousarray(w_np[:, 0]))
-    wb = GF.from_u64(np.ascontiguousarray(w_np[:, 1]))
-
+@lru_cache(maxsize=None)
+def _wsum_fn(mesh, axis: str):
     @partial(shard_map, mesh=mesh,
              in_specs=(PSpec(axis, None), PSpec(axis), PSpec(axis)),
              out_specs=(PSpec(None), PSpec(None)))
@@ -199,7 +218,17 @@ def _sharded_weighted_sum(coeffs: GF, w_np: np.ndarray, mesh,
                 jax.lax.all_gather(pb.hi, axis, axis=0))
         return ga.sum(axis=0), gb.sum(axis=0)
 
-    a, b = red(coeffs, wa, wb)
+    return jax.jit(red)
+
+
+def _sharded_weighted_sum(coeffs: GF, w_np: np.ndarray, mesh,
+                          axis: str) -> GF2:
+    """sum_j w[j] * coeffs[j] with extension weights, coeffs poly-sharded:
+    per-device partial sums, then a gathered log-depth GF tree-sum —
+    value-identical to the single-chip (polys * apow).sum(axis=0)."""
+    wa = GF.from_u64(np.ascontiguousarray(w_np[:, 0]))
+    wb = GF.from_u64(np.ascontiguousarray(w_np[:, 1]))
+    a, b = _wsum_fn(mesh, axis)(coeffs, wa, wb)
     return GF2(a, b)
 
 
