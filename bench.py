@@ -75,28 +75,64 @@ def _measure(impl: str, reps: int) -> float:
     return out_elems * reps / (time.perf_counter() - t0)
 
 
+def _poseidon_perms_per_sec(reps: int = 16) -> float:
+    """Fused-column Pallas Poseidon (MXU MDS), chained-jit like the LDE.
+    Second north-star metric: the Merkle/hash phase dominates e2e proving
+    (BASELINE.md round 4), so perms/s is tracked alongside LDE elems/s."""
+    import jax.numpy as jnp
+    from plonky2_tpu.ops.poseidon_pallas import permute_cols
+    b = 1 << 17
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chain(seed, n: int):
+        lo = jax.lax.broadcasted_iota(jnp.uint32, (12, b), 1) + seed
+        hi = jax.lax.broadcasted_iota(jnp.uint32, (12, b), 0) * jnp.uint32(7919)
+
+        def body(i, c):
+            olo, ohi = permute_cols(c[0], c[1], 1024, False, "mxu")
+            return (olo, ohi + jnp.uint32(1))
+
+        lo, hi = jax.lax.fori_loop(0, n, body, (lo, hi))
+        return lo.sum() + hi.sum()
+
+    _ = jax.device_get(chain(jnp.uint32(1), reps))
+    t0 = time.perf_counter()
+    _ = jax.device_get(chain(jnp.uint32(2), reps))
+    return b * reps / (time.perf_counter() - t0)
+
+
 def main():
     reps = 8
     results = {"radix8": _measure("radix8", reps)}
     # the fused MXU four-step kernel (ops/mxu_lde_pallas.py) is TPU-only;
     # fall back to the radix-8 number if it fails to compile or run
+    poseidon = None
     if jax.default_backend() != "cpu":
         try:
             results["mxu"] = _measure("mxu", reps)
+        except Exception:
+            pass
+        try:
+            poseidon = _poseidon_perms_per_sec()
         except Exception:
             pass
 
     impl = max(results, key=results.get)
     throughput = results[impl]
     ROUND1_THROUGHPUT = 0.81e9  # BASELINE.md, BENCH_r01.json
-    print(json.dumps({
+    out = {
         "metric": "ntt_lde_throughput",
         "value": throughput,
         "unit": "goldilocks_elems_per_sec_per_chip",
         "vs_baseline": throughput / ROUND1_THROUGHPUT,
         "impl": impl,
         "all": {k: round(v) for k, v in results.items()},
-    }))
+    }
+    if poseidon is not None:
+        # round-1 measured 5.7 M perms/s (BASELINE.md)
+        out["poseidon_perms_per_sec"] = round(poseidon)
+        out["poseidon_vs_round1"] = round(poseidon / 5.7e6, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

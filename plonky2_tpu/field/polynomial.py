@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import numpy as np
+from functools import partial
 
 from ..utils.bits import log2_ceil
 from . import gl64, gl64ext
@@ -17,9 +18,12 @@ from .extension import GF2
 from .goldilocks import GF
 
 
+@partial(jax.jit, static_argnums=(1,))
 def powers_ext(z: GF2, n: int) -> GF2:
     """[1, z, ..., z^(n-1)] as a GF2 array of shape (n,), built by doubling:
-    table of length k extends to 2k via table * z^k."""
+    table of length k extends to 2k via table * z^k.  Jitted with static
+    n: the whole log2(n)-step doubling is one compiled dispatch (eagerly
+    it was ~40 round trips over a tunneled device)."""
     out = GF2.ones((1,))
     zk = z.reshape(1)  # z^(current table length)
     while out.shape[0] < n:
@@ -29,6 +33,7 @@ def powers_ext(z: GF2, n: int) -> GF2:
     return out[:n]
 
 
+@partial(jax.jit, static_argnums=(1,))
 def powers_gf(z: GF, n: int) -> GF:
     """Base-field powers table on device, same doubling scheme."""
     out = GF.ones((1,))

@@ -16,7 +16,7 @@ from ..field import gl64, ntt
 from ..field.extension import GF2
 from ..field.goldilocks import GF
 from ..field.polynomial import powers_ext
-from ..hash.merkle import MerkleTree
+from ..hash.merkle import MerkleProof, MerkleTree
 from ..hash.poseidon import permute
 from ..iop.challenger import Challenger
 from ..utils.bits import reverse_index_bits_perm
@@ -142,13 +142,43 @@ def fri_proof_of_work(challenger: Challenger, config: FriConfig) -> np.uint64:
     return witness
 
 
+def _batch_open(tree, idx: np.ndarray):
+    """(leaves (q, leaf_len), sibs (q, depth, 4)) for a device-resident
+    MerkleTree (batched gathers) or any host tree with leaves_np/levels
+    (BytesMerkleTree, deserialized trees)."""
+    if hasattr(tree, "open"):
+        return tree.open(idx)
+    leaves = np.stack([np.asarray(tree.leaves_np[i]) for i in idx])
+    sibs = np.stack([tree.prove(int(i)).siblings for i in idx])
+    return leaves, sibs
+
+
 def fri_prover_query_rounds(initial_trees: list, trees: list,
                             challenger: Challenger, n: int,
                             fri_params: FriParams) -> list:
+    """Batched: ONE gather per Merkle level for all query rounds — over
+    a tunneled device, per-index extraction would cost thousands of
+    round trips (reference fri/prover.rs:160 does per-query host reads;
+    the transcript order — all indices drawn first — is unchanged
+    because index draws never interleave with observations)."""
+    nq = fri_params.config.num_query_rounds
+    x_indices = np.array([int(challenger.get_challenge()) % n
+                          for _ in range(nq)], dtype=np.int64)
+    initial_opens = [_batch_open(t, x_indices) for t in initial_trees]
+    step_opens = []
+    idx = x_indices
+    for i, tree in enumerate(trees):
+        idx = idx >> fri_params.reduction_arity_bits[i]
+        step_opens.append(_batch_open(tree, idx))
+
     rounds = []
-    for _ in range(fri_params.config.num_query_rounds):
-        x_index = int(challenger.get_challenge()) % n
-        rounds.append(fri_prover_query_round(initial_trees, trees, x_index, fri_params))
+    for q in range(nq):
+        initial_proof = [(leaves[q].copy(), MerkleProof(sibs[q]))
+                         for leaves, sibs in initial_opens]
+        steps = [FriQueryStep(leaves[q].reshape(-1, 2), MerkleProof(sibs[q]))
+                 for leaves, sibs in step_opens]
+        rounds.append(FriQueryRound(FriInitialTreeProof(initial_proof),
+                                    steps))
     return rounds
 
 

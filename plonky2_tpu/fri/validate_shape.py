@@ -29,9 +29,15 @@ def _cap_height(cap) -> int:
     return n.bit_length() - 1
 
 
-def validate_fri_proof_shape(proof, instance, params) -> None:
+def validate_fri_proof_shape(proof, instance, params,
+                             digest_width: int = 4) -> None:
     """proof: FriProof; instance: FriInstanceInfo; params: FriParams
-    (reference fri/validate_shape.rs:11)."""
+    (reference fri/validate_shape.rs:11).
+
+    ``digest_width`` is the hasher's digest shape in array elements —
+    4 u64 felts for Poseidon caps, 25 bytes for keccak byte-digest
+    trees (hash/keccak_tree.py); the caller derives it from its trusted
+    verification-key caps."""
     cap_height = params.config.cap_height
     for cap in proof.commit_phase_merkle_caps:
         _ensure(_cap_height(cap) == cap_height,
@@ -52,7 +58,7 @@ def validate_fri_proof_shape(proof, instance, params) -> None:
             _ensure(len(leaf) == oracle.num_polys + salt,
                     "initial leaf length does not match the oracle")
             _ensure(merkle_proof.siblings.shape
-                    == (params.lde_bits() - cap_height, 4),
+                    == (params.lde_bits() - cap_height, digest_width),
                     "initial Merkle path has the wrong depth")
 
         _ensure(len(query_round.steps) == len(params.reduction_arity_bits),
@@ -64,7 +70,7 @@ def validate_fri_proof_shape(proof, instance, params) -> None:
             _ensure(np.shape(step.evals) == (1 << arity_bits, 2),
                     "query step evals do not match the arity")
             _ensure(step.merkle_proof.siblings.shape
-                    == (codeword_len_bits - cap_height, 4),
+                    == (codeword_len_bits - cap_height, digest_width),
                     "query step Merkle path has the wrong depth")
 
     _ensure(len(proof.final_poly) == params.final_poly_len(),

@@ -104,8 +104,11 @@ def verify_fri_proof(instance: FriInstanceInfo, openings: FriOpenings,
     """Raises AssertionError on any failure (reference fri/verifier.rs:61);
     a structurally malformed proof raises ShapeError first
     (fri/validate_shape.py, reference fri/validate_shape.rs:11)."""
+    import numpy as _np
     from .validate_shape import validate_fri_proof_shape
-    validate_fri_proof_shape(proof, instance, params)
+    validate_fri_proof_shape(
+        proof, instance, params,
+        digest_width=_np.asarray(initial_merkle_caps[0].data).shape[-1])
     n = params.lde_size()
     # PoW
     assert int(challenges.fri_pow_response) < (1 << (64 - params.config.proof_of_work_bits)), \

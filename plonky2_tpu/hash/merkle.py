@@ -43,8 +43,34 @@ class MerkleProof:
     siblings: np.ndarray  # (depth, 4) u64
 
 
+def _gather_rows_np(x: GF, idx: np.ndarray) -> np.ndarray:
+    """Device row gather -> canonical host u64 rows (only the selected
+    rows cross the host link — at the flagship 2^20 shapes pulling a
+    full digest level costs ~67 MB over the tunnel; 84 query rows cost
+    ~3 KB)."""
+    import jax
+
+    @jax.jit
+    def g(lo, hi, i):
+        return lo[i], hi[i]
+
+    import jax.numpy as jnp
+    lo, hi = g(x.lo, x.hi, jnp.asarray(np.asarray(idx), jnp.int32))
+    from ..field import gl64
+    raw = (np.asarray(lo, np.uint64)
+           | (np.asarray(hi, np.uint64) << np.uint64(32)))
+    return gl64.to_canonical(raw)
+
+
 class MerkleTree:
-    """leaves: GF (n, leaf_len) on device; n a power of two."""
+    """leaves: GF (n, leaf_len) on device; n a power of two.
+
+    Digest levels and leaves stay ON DEVICE; only the cap is pulled
+    eagerly.  `levels` / `leaves_np` are lazy host views (first access
+    pulls), kept assignable for deserialized / hand-assembled trees
+    (utils/serialization.read_merkle_tree, parallel/groups.py).  The
+    query phase should use the batched `open()` — it gathers just the
+    requested rows of each level."""
 
     def __init__(self, leaves: GF, cap_height: int, leaves_np: np.ndarray | None = None):
         n = leaves.shape[0]
@@ -54,28 +80,71 @@ class MerkleTree:
         self.leaf_len = leaves.shape[1]
         # level 0: leaf digests; level k: 2^(bits-k) digests
         digests = hash_or_noop(leaves)
-        levels = [np.asarray(digests.to_u64())]
+        dev_levels = [digests]
         cur = digests
         for _ in range(bits - cap_height):
             cur = compress(cur[0::2, :], cur[1::2, :])
-            levels.append(np.asarray(cur.to_u64()))
-        self.levels = levels
-        self.cap = MerkleCap(levels[-1])
-        # Host copy of leaves for query-phase opening extraction.
-        self.leaves_np = leaves_np if leaves_np is not None else leaves.to_u64()
+            dev_levels.append(cur)
+        self._dev_leaves = leaves
+        self._dev_levels = dev_levels
+        self._levels_np = None
+        self._leaves_np = leaves_np
+        self.cap = MerkleCap(np.asarray(dev_levels[-1].to_u64()))
+
+    # -- lazy host views (assignable: deserialized trees set them) ------
+    @property
+    def levels(self) -> list:
+        if getattr(self, "_levels_np", None) is None:
+            self._levels_np = [np.asarray(l.to_u64())
+                               for l in self._dev_levels]
+        return self._levels_np
+
+    @levels.setter
+    def levels(self, v):
+        self._levels_np = list(v)
+        self._dev_levels = None
+
+    @property
+    def leaves_np(self) -> np.ndarray:
+        if getattr(self, "_leaves_np", None) is None:
+            self._leaves_np = self._dev_leaves.to_u64()
+        return self._leaves_np
+
+    @leaves_np.setter
+    def leaves_np(self, v):
+        self._leaves_np = v
+
+    def open(self, indices: np.ndarray):
+        """(q,) leaf indices -> (leaves (q, leaf_len), sibs (q, depth, 4)),
+        one gather per level (fri/prover.py batched query extraction)."""
+        idx = np.asarray(indices, np.int64)
+        if getattr(self, "_levels_np", None) is not None \
+                or getattr(self, "_dev_levels", None) is None:
+            leaves = np.asarray(self.leaves_np)[idx]
+            depth = len(self.levels) - 1
+            sibs = np.empty((idx.size, depth, 4), np.uint64)
+            for lvl in range(depth):
+                sibs[:, lvl] = self.levels[lvl][(idx >> lvl) ^ 1]
+            return leaves, sibs
+        leaves = _gather_rows_np(self._dev_leaves, idx)
+        depth = len(self._dev_levels) - 1
+        sibs = np.empty((idx.size, depth, 4), np.uint64)
+        for lvl in range(depth):
+            sibs[:, lvl] = _gather_rows_np(self._dev_levels[lvl],
+                                           (idx >> lvl) ^ 1)
+        return leaves, sibs
 
     def prove(self, leaf_index: int) -> MerkleProof:
         """Sibling path from leaf to cap (reference merkle_tree.rs:173)."""
-        depth = len(self.levels) - 1
-        sibs = np.empty((depth, 4), dtype=np.uint64)
-        idx = leaf_index
-        for lvl in range(depth):
-            sibs[lvl] = self.levels[lvl][idx ^ 1]
-            idx >>= 1
-        return MerkleProof(sibs)
+        _, sibs = self.open(np.array([leaf_index]))
+        return MerkleProof(sibs[0])
 
     def get_leaf(self, leaf_index: int) -> np.ndarray:
-        return self.leaves_np[leaf_index]
+        if getattr(self, "_leaves_np", None) is not None \
+                or getattr(self, "_dev_leaves", None) is None:
+            return np.asarray(self.leaves_np)[leaf_index]
+        return _gather_rows_np(self._dev_leaves,
+                               np.array([leaf_index]))[0]
 
 
 def verify_merkle_proof_to_cap(

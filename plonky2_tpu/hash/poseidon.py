@@ -123,14 +123,21 @@ def _pallas_batch_threshold() -> int:
 
 def _permute_via_cols(state: GF) -> GF:
     """(..., 12) -> column kernel roundtrip: transpose to (12, B) planar
-    limbs, run the fused Pallas kernel, transpose back."""
+    limbs, run the fused Pallas kernel, transpose back.
+
+    The MDS layer defaults to the MXU byte-plane-dot variant — measured
+    22.1 M perms/s vs 9.2 M for the sublane-roll variant on v5e
+    (BASELINE.md round 4); PLONKY2_TPU_POSEIDON_MDS=roll restores the
+    VPU path."""
+    import os
     from ..ops.poseidon_pallas import permute_cols
     batch = state.shape[:-1]
     b = int(np.prod(batch)) if batch else 1
     tile = 1024 if b % 1024 == 0 else 128
+    mds = os.environ.get("PLONKY2_TPU_POSEIDON_MDS", "mxu")
     lo = state.lo.reshape(b, 12).T
     hi = state.hi.reshape(b, 12).T
-    olo, ohi = permute_cols(lo, hi, tile)
+    olo, ohi = permute_cols(lo, hi, tile, False, mds)
     return GF(olo.T.reshape(*batch, 12), ohi.T.reshape(*batch, 12))
 
 

@@ -48,10 +48,15 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
     cap_height = config.fri_config.cap_height
     assert fri_params.total_arities() <= degree_bits + rate_bits - cap_height
 
+    from ..utils.timing import TimingTree
+    if timing is None:
+        timing = TimingTree("prove (unreported)")
+
     if trace_commitment is None:
-        trace_commitment = PolynomialBatch.from_values(
-            trace_poly_values, rate_bits, False, cap_height,
-            hasher=config.hasher)
+        with timing.scope("trace commitment (LDE + Merkle)"):
+            trace_commitment = PolynomialBatch.from_values(
+                trace_poly_values, rate_bits, False, cap_height,
+                hasher=config.hasher)
     challenger = Challenger(permutation_for(config.hasher))
     challenger.observe_cap(trace_commitment.merkle_tree.cap)
 
@@ -63,41 +68,48 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
                                   get_n_permutation_challenge_sets)
         challenge_sets = get_n_permutation_challenge_sets(
             challenger, config.num_challenges, stark.permutation_batch_size())
-        z_polys = compute_permutation_z_polys(
-            stark, config, trace_poly_values.to_u64(), challenge_sets)
-        perm_zs_commitment = PolynomialBatch.from_values(
-            GF.from_u64(z_polys), rate_bits, False, cap_height,
-            hasher=config.hasher)
+        with timing.scope("permutation Z polys (host)"):
+            z_polys = compute_permutation_z_polys(
+                stark, config, trace_poly_values.to_u64(), challenge_sets)
+        with timing.scope("permutation Z commitment"):
+            perm_zs_commitment = PolynomialBatch.from_values(
+                GF.from_u64(z_polys), rate_bits, False, cap_height,
+                hasher=config.hasher)
         challenger.observe_cap(perm_zs_commitment.merkle_tree.cap)
 
     alphas = challenger.get_n_challenges(config.num_challenges)
 
-    quotient_chunks = _compute_quotient_polys(
-        stark, trace_commitment, public_inputs, alphas, degree_bits, config,
-        perm_zs_commitment, challenge_sets)
-    quotient_commitment = PolynomialBatch.from_coeffs(
-        quotient_chunks, rate_bits, False, cap_height,
-        hasher=config.hasher)
+    with timing.scope("quotient values + coefficients"):
+        quotient_chunks = _compute_quotient_polys(
+            stark, trace_commitment, public_inputs, alphas, degree_bits,
+            config, perm_zs_commitment, challenge_sets)
+    with timing.scope("quotient commitment"):
+        quotient_commitment = PolynomialBatch.from_coeffs(
+            quotient_chunks, rate_bits, False, cap_height,
+            hasher=config.hasher)
     challenger.observe_cap(quotient_commitment.merkle_tree.cap)
 
     zeta_np = challenger.get_extension_challenge()
     g = gl64.primitive_root_of_unity(degree_bits)
     zeta = GF2.from_u64_pair(zeta_np[0], zeta_np[1])
     zeta_g = zeta * GF.full((), g)
-    zpow = powers_ext(zeta, degree)
-    zgpow = powers_ext(zeta_g, degree)
-
-    openings = StarkOpeningSet(
-        local_values=eval_polys_at_ext(trace_commitment.polynomials, zpow).to_u64(),
-        next_values=eval_polys_at_ext(trace_commitment.polynomials, zgpow).to_u64(),
-        quotient_polys=eval_polys_at_ext(quotient_commitment.polynomials, zpow).to_u64(),
-        permutation_zs=eval_polys_at_ext(perm_zs_commitment.polynomials,
-                                         zpow).to_u64()
-        if perm_zs_commitment else None,
-        permutation_zs_next=eval_polys_at_ext(perm_zs_commitment.polynomials,
-                                              zgpow).to_u64()
-        if perm_zs_commitment else None,
-    )
+    with timing.scope("openings at zeta / g*zeta"):
+        zpow = powers_ext(zeta, degree)
+        zgpow = powers_ext(zeta_g, degree)
+        openings = StarkOpeningSet(
+            local_values=eval_polys_at_ext(trace_commitment.polynomials,
+                                           zpow).to_u64(),
+            next_values=eval_polys_at_ext(trace_commitment.polynomials,
+                                          zgpow).to_u64(),
+            quotient_polys=eval_polys_at_ext(quotient_commitment.polynomials,
+                                             zpow).to_u64(),
+            permutation_zs=eval_polys_at_ext(perm_zs_commitment.polynomials,
+                                             zpow).to_u64()
+            if perm_zs_commitment else None,
+            permutation_zs_next=eval_polys_at_ext(
+                perm_zs_commitment.polynomials, zgpow).to_u64()
+            if perm_zs_commitment else None,
+        )
     for batch in openings.to_fri_openings().batches:
         for v in batch.values:
             challenger.observe_extension_element(v)
@@ -106,9 +118,10 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
     if perm_zs_commitment is not None:
         commitments.append(perm_zs_commitment)
     commitments.append(quotient_commitment)
-    opening_proof = PolynomialBatch.prove_openings(
-        stark.fri_instance(zeta_np, g, config), commitments,
-        challenger, fri_params)
+    with timing.scope("FRI opening proof"):
+        opening_proof = PolynomialBatch.prove_openings(
+            stark.fri_instance(zeta_np, g, config), commitments,
+            challenger, fri_params)
 
     proof = StarkProof(
         trace_cap=trace_commitment.merkle_tree.cap,

@@ -82,10 +82,11 @@ def bench_fibonacci(log_rows: int, reps: int = 3):
         proof = prove(stark, config, trace, pis, timing)
         dt = time.perf_counter() - t0
         print(f"  prove[{i}]: {dt:.2f}s "
-              f"({n / dt / 1e6:.2f} M rows/s)", flush=True)
+              f"({n / dt / 1e3:.1f} K rows/s)", flush=True)
+        timing.print()
         if best is None or dt < best[0]:
             best = (dt, timing)
-    verify_stark_proof(stark, proof, config)
+    verify_stark_proof(stark, proof, config, degree_bits=log_rows)
     print("  verified OK; phase breakdown of best run:", flush=True)
     best[1].print()
     return {"metric": f"fibonacci_2e{log_rows}_prove_seconds",
