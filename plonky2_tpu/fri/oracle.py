@@ -50,13 +50,17 @@ def _use_mxu_lde(n: int, rate_bits: int) -> bool:
         return False
     if n < 4096 or n % 128:
         return False
-    # kernel preconditions: lane-aligned step-2 size, and a step-1
-    # contraction (n1z = n/n2) short enough that the W1 table stays small
-    # and — for the bf16 fallback planes — the f32 accumulation exact
-    from ..ops.mxu_lde_pallas import pick_n2
+    # kernel preconditions: lane-aligned step-2 size, and both contraction
+    # lengths (n1z = n/n2 for step 1, n2 for step 2) within the exactness
+    # bound of the selected digit-plane dtype: 2^17 for int8 (s32
+    # accumulation, per-contraction), 512 for the bf16 fallback (f32
+    # 2^24-mantissa accumulation)
+    from ..ops.mxu_lde_pallas import PLANE_DTYPE, pick_n2
+    import jax.numpy as jnp
     import numpy as np
     n2 = pick_n2(int(np.log2(n)), rate_bits)
-    if n2 % 128 or n // n2 > 512:
+    bound = (1 << 17) if PLANE_DTYPE == jnp.int8 else 512
+    if n2 % 128 or n // n2 > bound or n2 > bound:
         return False
     return impl in ("mxu", "auto")
 
@@ -112,21 +116,34 @@ class PolynomialBatch:
         n = polynomials.shape[-1]
         leaves_pre = None
         if _use_mxu_lde(n, rate_bits):
-            # fused MXU four-step kernel (ops/mxu_lde_pallas.py): output in
-            # (t1, t2) layout; one gather recovers natural order and —
-            # when no salt columns intervene — a composed gather produces
-            # the bit-reversed Merkle leaf order directly.
-            from ..ops import mxu_lde_pallas as _mxu
+            # fused MXU kernel: the two-step four-step kernel
+            # (ops/mxu_lde_pallas.py) up to n = 2^17, the three-step kernel
+            # (ops/mxu_lde3_pallas.py — flagship-MAC-count at any n) above.
+            # Output arrives in a permuted (t1, [t3,] t2) layout; one
+            # gather recovers natural order and — when no salt columns
+            # intervene — a composed gather produces the bit-reversed
+            # Merkle leaf order directly.
             log_n = log2_strict(n)
-            n2 = _mxu.pick_n2(log_n, rate_bits)
-            mem = _mxu.mxu_lde(polynomials, rate_bits, COSET_SHIFT, n2)
+            from ..ops import mxu_lde3_pallas as _mxu3
+            use3 = (log_n > 17 and _mxu3.use_mxu_lde3(log_n, rate_bits)
+                    and os.environ.get("PLONKY2_TPU_LDE3", "1") != "0")
+            if use3:
+                n2, n3 = _mxu3.pick_n2_n3(log_n, rate_bits)
+                mem = _mxu3.mxu_lde3(polynomials, rate_bits, COSET_SHIFT)
+                nat_perm = _mxu3.natural_perm3_from_mem(log_n, rate_bits,
+                                                        n2, n3)
+                leaf_perm = _mxu3.leaf_perm3_from_mem(log_n, rate_bits,
+                                                      n2, n3)
+            else:
+                from ..ops import mxu_lde_pallas as _mxu
+                n2 = _mxu.pick_n2(log_n, rate_bits)
+                mem = _mxu.mxu_lde(polynomials, rate_bits, COSET_SHIFT, n2)
+                nat_perm = _mxu.natural_perm_from_mem(log_n, rate_bits, n2)
+                leaf_perm = _mxu.leaf_perm_from_mem(log_n, rate_bits, n2)
             mem = mem.reshape(polynomials.shape[0], n << rate_bits)
-            lde_values = mem.take(
-                _mxu.natural_perm_from_mem(log_n, rate_bits, n2), axis=-1)
+            lde_values = mem.take(nat_perm, axis=-1)
             if not blinding:
-                leaves_pre = mem.take(
-                    _mxu.leaf_perm_from_mem(log_n, rate_bits, n2),
-                    axis=-1).transpose(1, 0)
+                leaves_pre = mem.take(leaf_perm, axis=-1).transpose(1, 0)
         else:
             lde_values = ntt.lde(polynomials, rate_bits, shift=COSET_SHIFT)
         leaf_cols = lde_values
@@ -182,6 +199,8 @@ class PolynomialBatch:
     def prove_openings(instance: FriInstanceInfo, oracles: list,
                        challenger: Challenger, fri_params: FriParams,
                        timing=None) -> FriProof:
+        from ..utils.timing import TimingTree
+        timing = timing if timing is not None else TimingTree("openings")
         alpha_np = challenger.get_extension_challenge()
         alpha = GF2.from_u64_pair(alpha_np[0], alpha_np[1])
 
@@ -191,27 +210,31 @@ class PolynomialBatch:
         # (the running `count`/`shift` bookkeeping of ReducingFactor).
         final_poly = None
         subgroup = GF.from_u64(gl64.two_adic_subgroup(fri_params.degree_bits))
-        for batch in instance.batches:
-            k = len(batch.polynomials)
-            apow = powers_ext(alpha, k)
-            # composition poly coeffs: (n,) extension
-            polys = GF.stack(
-                [oracles[p.oracle_index].polynomials[p.polynomial_index]
-                 for p in batch.polynomials], axis=0)  # (k, n)
-            comp = GF2((polys * apow.a.reshape(-1, 1)).sum(axis=0),
-                       (polys * apow.b.reshape(-1, 1)).sum(axis=0))
-            quotient = batch_opening_quotient(comp, batch.point, n, subgroup)
-            if final_poly is None:
-                final_poly = quotient
-            else:
-                shift_pow = alpha.pow_const(k)
-                final_poly = final_poly * shift_pow + quotient
+        with timing.scope("alpha composition + opening quotients"):
+            for batch in instance.batches:
+                k = len(batch.polynomials)
+                apow = powers_ext(alpha, k)
+                # composition poly coeffs: (n,) extension
+                polys = GF.stack(
+                    [oracles[p.oracle_index].polynomials[p.polynomial_index]
+                     for p in batch.polynomials], axis=0)  # (k, n)
+                comp = GF2((polys * apow.a.reshape(-1, 1)).sum(axis=0),
+                           (polys * apow.b.reshape(-1, 1)).sum(axis=0))
+                quotient = batch_opening_quotient(comp, batch.point, n,
+                                                  subgroup)
+                if final_poly is None:
+                    final_poly = quotient
+                else:
+                    shift_pow = alpha.pow_const(k)
+                    final_poly = final_poly * shift_pow + quotient
 
-        lde_coeffs = GF2(
-            GF.concatenate([final_poly.a, GF.zeros(((1 << fri_params.config.rate_bits) - 1) * n)]),
-            GF.concatenate([final_poly.b, GF.zeros(((1 << fri_params.config.rate_bits) - 1) * n)]),
-        )
-        lde_values = ntt.lde_ext(final_poly, fri_params.config.rate_bits, shift=COSET_SHIFT)
+        with timing.scope("final poly LDE"):
+            lde_coeffs = GF2(
+                GF.concatenate([final_poly.a, GF.zeros(((1 << fri_params.config.rate_bits) - 1) * n)]),
+                GF.concatenate([final_poly.b, GF.zeros(((1 << fri_params.config.rate_bits) - 1) * n)]),
+            )
+            lde_values = ntt.lde_ext(final_poly, fri_params.config.rate_bits,
+                                     shift=COSET_SHIFT)
 
         return fri_proof(
             [o.merkle_tree for o in oracles],
@@ -220,4 +243,5 @@ class PolynomialBatch:
             challenger,
             fri_params,
             hasher=oracles[0].hasher,
+            timing=timing,
         )

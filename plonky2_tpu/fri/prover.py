@@ -199,17 +199,23 @@ def fri_prover_query_round(initial_trees: list, trees: list, x_index: int,
 
 def fri_proof(initial_merkle_trees: list, lde_polynomial_coeffs: GF2,
               lde_polynomial_values: GF2, challenger: Challenger,
-              fri_params: FriParams, hasher: str = "poseidon") -> FriProof:
+              fri_params: FriParams, hasher: str = "poseidon",
+              timing=None) -> FriProof:
     """Top-level FRI proof (reference fri/prover.rs:20)."""
+    from ..utils.timing import TimingTree
+    timing = timing if timing is not None else TimingTree("fri")
     n = lde_polynomial_values.shape[0]
     assert lde_polynomial_coeffs.shape[0] == n
 
-    trees, final_coeffs = fri_committed_trees(
-        lde_polynomial_coeffs, lde_polynomial_values, challenger, fri_params,
-        hasher)
-    pow_witness = fri_proof_of_work(challenger, fri_params.config)
-    query_rounds = fri_prover_query_rounds(
-        initial_merkle_trees, trees, challenger, n, fri_params)
+    with timing.scope("commit-phase folds"):
+        trees, final_coeffs = fri_committed_trees(
+            lde_polynomial_coeffs, lde_polynomial_values, challenger,
+            fri_params, hasher)
+    with timing.scope("proof-of-work grind"):
+        pow_witness = fri_proof_of_work(challenger, fri_params.config)
+    with timing.scope("query rounds"):
+        query_rounds = fri_prover_query_rounds(
+            initial_merkle_trees, trees, challenger, n, fri_params)
 
     return FriProof(
         commit_phase_merkle_caps=[t.cap for t in trees],

@@ -109,12 +109,19 @@ def _pow_matrix(base: int, rows: np.ndarray, cols: np.ndarray,
 
 
 def pick_n2(log_n: int, rate_bits: int) -> int:
-    """Step-2 size: 256 measured fastest on v5e (n2=256 does ~20% fewer
-    MACs than 512 at the flagship shape: N*(n/n2 + n2) is minimised near
-    sqrt(n) and 2.31 vs 2.13 G elems/s measured, BASELINE.md), subject to
-    n2 | n, VMEM residency of the W2 planes, and (bf16 fallback) f32
-    exactness n2 <= 512."""
-    return min(256, 1 << log_n, 1 << ((log_n + rate_bits) // 2))
+    """Step-2 size: 256 measured fastest on v5e for n <= 2^17 (n2=256 does
+    ~20% fewer MACs than 512 at the flagship shape: N*(n/n2 + n2) is
+    minimised near sqrt(n) and 2.31 vs 2.13 G elems/s measured,
+    BASELINE.md), subject to n2 | n, VMEM residency of the W2 planes, and
+    (bf16 fallback planes) f32 exactness n2 <= 512.
+
+    For n > 2^17 (int8 planes only — the int8 s32 accumulation is exact
+    for contractions up to 2^17, per-dot, not total-n) pick the balanced
+    split n2 ~= sqrt(n), which minimises the two-step MAC count
+    N*(n/n2 + n2); the 2^20 flagship gets n2=1024 / n1z=1024."""
+    if log_n <= 17:
+        return min(256, 1 << log_n, 1 << ((log_n + rate_bits) // 2))
+    return 1 << ((log_n + 1) // 2)
 
 
 @lru_cache(maxsize=16)

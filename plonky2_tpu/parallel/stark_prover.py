@@ -306,14 +306,14 @@ def prove_sharded(stark, config, trace_poly_values: GF,
     perm_commitment = None
     challenge_sets = None
     if stark.uses_permutation_args():
-        from ..stark.permutation import (compute_permutation_z_polys,
+        from ..stark.permutation import (compute_permutation_z_polys_gf,
                                          get_n_permutation_challenge_sets)
         challenge_sets = get_n_permutation_challenge_sets(
             challenger, config.num_challenges, stark.permutation_batch_size())
-        z_polys = compute_permutation_z_polys(
-            stark, config, trace_poly_values.to_u64(), challenge_sets)
+        z_polys_gf = compute_permutation_z_polys_gf(
+            stark, config, trace_poly_values, challenge_sets)
         perm_commitment = sharded_batch_commit(
-            GF.from_u64(z_polys), rate_bits, cap_height, mesh, axis,
+            z_polys_gf, rate_bits, cap_height, mesh, axis,
             quotient_step=step)
         challenger.observe_cap(perm_commitment.merkle_tree.cap)
 

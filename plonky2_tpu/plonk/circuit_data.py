@@ -161,9 +161,9 @@ class CircuitData:
         self.verifier_only = verifier_only
         self.common = common
 
-    def prove(self, pw, timing=None):
+    def prove(self, pw, timing=None, mesh=None):
         from .prover import prove
-        return prove(self.prover_only, self.common, pw, timing)
+        return prove(self.prover_only, self.common, pw, timing, mesh=mesh)
 
     def verify(self, proof_with_pis) -> None:
         from .verifier import verify

@@ -31,7 +31,14 @@ P = gl64.ORDER_INT
 
 
 def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
-          inputs: PartialWitness, timing=None) -> ProofWithPublicInputs:
+          inputs: PartialWitness, timing=None,
+          mesh=None) -> ProofWithPublicInputs:
+    """mesh: a jax.sharding.Mesh runs the whole pipeline distributed
+    (parallel/plonk_prover.py) and returns a byte-identical proof."""
+    if mesh is not None:
+        from ..parallel.plonk_prover import prove_sharded
+        return prove_sharded(prover_data, common, inputs, mesh,
+                             timing=timing)
     from ..utils.timing import TimingTree
     timing = timing if timing is not None else TimingTree("prove")
     config = common.config
@@ -117,7 +124,7 @@ def prove(prover_data: ProverOnlyCircuitData, common: CommonCircuitData,
             instance,
             [prover_data.constants_sigmas_commitment, wires_commitment,
              pp_commitment, quotient_commitment],
-            challenger, common.fri_params)
+            challenger, common.fri_params, timing=timing)
 
     proof = Proof(
         wires_cap=wires_commitment.merkle_tree.cap,

@@ -91,6 +91,40 @@ def compute_permutation_z_polys(stark, config, trace_np: np.ndarray,
     return out
 
 
+def compute_permutation_z_polys_gf(stark, config, trace: "GF",
+                                   challenge_sets: list) -> "GF":
+    """Device twin of compute_permutation_z_polys: trace stays a device GF
+    (COLUMNS, n) — no tunnel fetch, no host numpy scans (the host path cost
+    ~42 s at 2^20 rows; the device reduction + log-depth prefix product is
+    milliseconds).  Values (and hence the committed bytes) are identical:
+    every operation is exact field arithmetic, and the Hillis-Steele
+    re-bracketing of the grand product cannot change a product mod p."""
+    from ..field.goldilocks import GF, batch_inv
+    from ..plonk.prover import _exclusive_prefix_product
+
+    batches = get_permutation_batches(
+        stark.permutation_pairs(), challenge_sets, config.num_challenges,
+        stark.permutation_batch_size())
+    zs = []
+    for batch in batches:
+        numer = None
+        denom = None
+        for pair, (beta, gamma) in batch:
+            beta_i = int(beta)
+            rl = GF.full((), int(gamma))
+            rr = rl
+            w = 1
+            for (l, r) in pair.column_pairs:
+                rl = rl + trace[l] * GF.full((), w)
+                rr = rr + trace[r] * GF.full((), w)
+                w = (w * beta_i) % P
+            numer = rl if numer is None else numer * rl
+            denom = rr if denom is None else denom * rr
+        quotients = numer * batch_inv(denom)
+        zs.append(_exclusive_prefix_product(quotients))
+    return GF.stack(zs, axis=0)
+
+
 def eval_permutation_checks(ctx, stark, config, vars, local_zs, next_zs,
                             challenge_sets, consumer) -> None:
     """Z(1)=1 plus the per-batch transition Z(gx)*prod(rhs) = Z(x)*prod(lhs)

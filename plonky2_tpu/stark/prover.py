@@ -64,16 +64,16 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
     perm_zs_commitment = None
     challenge_sets = None
     if stark.uses_permutation_args():
-        from .permutation import (compute_permutation_z_polys,
+        from .permutation import (compute_permutation_z_polys_gf,
                                   get_n_permutation_challenge_sets)
         challenge_sets = get_n_permutation_challenge_sets(
             challenger, config.num_challenges, stark.permutation_batch_size())
-        with timing.scope("permutation Z polys (host)"):
-            z_polys = compute_permutation_z_polys(
-                stark, config, trace_poly_values.to_u64(), challenge_sets)
+        with timing.scope("permutation Z polys (device)"):
+            z_polys_gf = compute_permutation_z_polys_gf(
+                stark, config, trace_poly_values, challenge_sets)
         with timing.scope("permutation Z commitment"):
             perm_zs_commitment = PolynomialBatch.from_values(
-                GF.from_u64(z_polys), rate_bits, False, cap_height,
+                z_polys_gf, rate_bits, False, cap_height,
                 hasher=config.hasher)
         challenger.observe_cap(perm_zs_commitment.merkle_tree.cap)
 
@@ -121,7 +121,7 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
     with timing.scope("FRI opening proof"):
         opening_proof = PolynomialBatch.prove_openings(
             stark.fri_instance(zeta_np, g, config), commitments,
-            challenger, fri_params)
+            challenger, fri_params, timing=timing)
 
     proof = StarkProof(
         trace_cap=trace_commitment.merkle_tree.cap,

@@ -29,6 +29,7 @@ from __future__ import annotations
 from importlib import resources
 from pathlib import Path
 
+from ...field import secp256k1 as _secp
 from ..opcodes import (NATIVE_OPS, SYSCALL_MIN_STACK, decode_native,
                        min_stack_len)
 from .assembler import assemble
@@ -76,6 +77,14 @@ GLOBAL_EXEC_RET = 32         # kernel continuation pc after a contract frame
 GLOBAL_RETURNDATA_LEN = 33   # byte length of (0, SEG_RETURNDATA)
 GLOBAL_DRY_RUN = 34          # 1: check_root publishes instead of checking
 GLOBAL_TXN_DATA_LEN = 35     # calldata byte length (public txn data)
+# round-5 signed transactions (kernel/asm/curve.asm verify_txn_signature):
+# SIG_R = 0 means an unsigned txn (the earlier reduction) — signature
+# checking is skipped; otherwise the sender is recovered in-kernel from
+# keccak(unsigned txn RLP) and must equal @GLOBAL_TXN_SENDER.
+GLOBAL_TXN_SIG_V = 36        # 27 or 28
+GLOBAL_TXN_SIG_R = 37
+GLOBAL_TXN_SIG_S = 38
+GLOBAL_EC_BASE = 39          # curve.asm scratch-cell base pointer
 GLOBAL_TXN_DATA_BASE = 64    # calldata words, 32 bytes each, big-endian
 GLOBAL_MIN_SP_BASE = 256
 
@@ -109,7 +118,7 @@ EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
 ASM_DIR = Path(__file__).parent / "asm"
 CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "signed.asm",
               "memory.asm", "rlp.asm", "mpt.asm", "mpt_ops.asm",
-              "contract.asm", "txn.asm")
+              "curve.asm", "contract.asm", "txn.asm")
 
 
 def user_opcode_is_valid(opcode: int) -> bool:
@@ -224,7 +233,7 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "CTX_CALLER": cpu.META_CALLER,
         "CTX_CALLVALUE": cpu.META_CALLVALUE,
         "CTX_CALLDATA_SIZE": cpu.META_CALLDATA_SIZE,
-        "J_BALANCE": 1, "J_STORAGE": 2,
+        "J_BALANCE": 1, "J_STORAGE": 2, "J_SABSENT": 3, "J_CREATE": 4,
         "GLOBAL_NEXT_CTX": GLOBAL_NEXT_CTX,
         "GLOBAL_TXN_FAILED": GLOBAL_TXN_FAILED,
         "GLOBAL_GAS_USED": GLOBAL_GAS_USED,
@@ -235,6 +244,15 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "GLOBAL_DRY_RUN": GLOBAL_DRY_RUN,
         "GLOBAL_TXN_DATA_LEN": GLOBAL_TXN_DATA_LEN,
         "GLOBAL_TXN_DATA_BASE": GLOBAL_TXN_DATA_BASE,
+        "GLOBAL_TXN_SIG_V": GLOBAL_TXN_SIG_V,
+        "GLOBAL_TXN_SIG_R": GLOBAL_TXN_SIG_R,
+        "GLOBAL_TXN_SIG_S": GLOBAL_TXN_SIG_S,
+        "GLOBAL_EC_BASE": GLOBAL_EC_BASE,
+        # secp256k1 (field/secp256k1.py; curve.asm ecrecover)
+        "SECP_P": _secp.SECP256K1_BASE.order,
+        "SECP_N": _secp.SECP256K1_SCALAR.order,
+        "SECP_GX": _secp.GX,
+        "SECP_GY": _secp.GY,
         "GLOBAL_GASLIMIT": GLOBAL_BLOCK_GASLIMIT,
         "GLOBAL_INVALID_OPCODES_USER": GLOBAL_INVALID_OPCODES_USER,
         "GLOBAL_STACK_INCREASING_USER": GLOBAL_STACK_INCREASING_USER,

@@ -26,11 +26,10 @@
 // entries [type, a, b, c] in (0, SEG_JOURNAL); revert REPLAYS the old
 // values through the same trie routines rather than snapshotting
 // pointers (mpt_insert mutates nodes in place, but trie HASHES are
-// content-based, so value-replay restores the root exactly).  Known
-// reduction: reverting an insert of a previously-ABSENT key (fresh
-// storage slot / fresh account) would need mpt_delete, which this
-// kernel does not have yet — such reverts make the proof impossible
-// (a completeness gap, not a soundness one).
+// content-based, so value-replay restores the root exactly).
+// Fresh-key inserts (absent storage slot @J_SABSENT, created account
+// @J_CREATE) revert through mpt_ops.asm mpt_delete (round 5 — this
+// closed the round-4 value-replay completeness gap).
 //
 // Code serialization for hashing: 33 bytes per instruction — opcode
 // byte, then the immediate as 32 big-endian bytes.  code_hash =
@@ -113,9 +112,17 @@ rj_loop:
     PUSH @J_BALANCE
     EQ
     %jumpi(rj_balance)
+    DUP1
     PUSH @J_STORAGE
     EQ
     %jumpi(rj_storage)
+    DUP1
+    PUSH @J_SABSENT
+    EQ
+    %jumpi(rj_sabsent)
+    PUSH @J_CREATE
+    EQ
+    %jumpi(rj_create)
     %jump(panic)
 rj_balance:
     // stack: type, base, retdest — entry [_, vptr, old_bal, _]
@@ -136,8 +143,9 @@ rj_balance:
     %trie_write
     %jump(rj_loop)
 rj_storage:
-    // stack: base, retdest — entry [_, acct_vptr, slot, old_value]:
+    // stack: type, base, retdest — entry [_, acct_vptr, slot, old_value]:
     // replay SSTORE(slot, old_value) on the account's storage trie
+    POP
     DUP1
     PUSH 1
     ADD
@@ -155,6 +163,38 @@ rj_storage:
     MLOAD_GENERAL                // [old_value, acct_vptr, slot, retdest]
     %stack (old, vptr, slot) -> (vptr, slot, old, rj_loop)
     %jump(storage_write)
+rj_sabsent:
+    // stack: type, base, retdest — entry [_, acct_vptr, slot, _]: the
+    // slot was ABSENT before the frame wrote it; value-replay cannot
+    // express that, so revert DELETES the key (mpt_ops.asm mpt_delete —
+    // the round-4 completeness gap this closes)
+    POP
+    DUP1
+    PUSH 1
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [acct_vptr, base, retdest]
+    SWAP1
+    PUSH 2
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [slot, acct_vptr, retdest]
+    %stack (slot, vptr) -> (vptr, slot, rj_loop)
+    %jump(storage_delete)
+rj_create:
+    // stack: base, retdest — entry [_, state_key, 0, 0]: delete the
+    // account created inside the reverted frame from the state trie
+    PUSH 1
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [key, retdest]
+    %mload_global(@GLOBAL_STATE_TRIE_PTR)
+    %stack (state, key) -> (state, 64, key, rj_cr1)
+    %jump(mpt_delete)
+rj_cr1:
+    // stack: newstate, retdest
+    %mstore_global(@GLOBAL_STATE_TRIE_PTR)
+    %jump(rj_loop)
 
 rj_done:
     // stack: len, retdest
@@ -228,6 +268,50 @@ sw_1:
     %stack (sptr, key, vv) -> (sptr, 64, key, vv, sw_2)
     %jump(mpt_insert)
 sw_2:
+    // stack: newsptr, acct_vptr, retdest
+    SWAP1
+    PUSH 2
+    ADD                          // [acct_vptr+2, newsptr, retdest]
+    %trie_write
+    JUMP
+
+// storage_probe(acct_vptr, slot, retdest) -> vptr: the slot's trie
+// value pointer, 0 when the slot is absent (distinguishes "absent"
+// from "stored 0" — sys_sstore journals the difference)
+global storage_probe:
+    // stack: acct_vptr, slot, retdest
+    SWAP1
+    %stack (slot) -> (slot, stp_1)
+    %jump(hash_key32)
+stp_1:
+    // stack: key, acct_vptr, retdest
+    SWAP1
+    PUSH 2
+    ADD
+    %trie_read                   // [sptr, key, retdest]
+    %stack (sptr, key) -> (sptr, 64, key, stp_2)
+    %jump(mpt_read)
+stp_2:
+    SWAP1
+    JUMP
+
+// storage_delete(acct_vptr, slot, retdest): remove the slot from the
+// account's storage trie (mpt_ops.asm mpt_delete) and store the new
+// storage root pointer
+global storage_delete:
+    // stack: acct_vptr, slot, retdest
+    SWAP1
+    %stack (slot) -> (slot, sdl_1)
+    %jump(hash_key32)
+sdl_1:
+    // stack: key, acct_vptr, retdest
+    DUP2
+    PUSH 2
+    ADD
+    %trie_read                   // [sptr, key, acct_vptr, retdest]
+    %stack (sptr, key, acct_vptr) -> (sptr, 64, key, sdl_2, acct_vptr)
+    %jump(mpt_delete)
+sdl_2:
     // stack: newsptr, acct_vptr, retdest
     SWAP1
     PUSH 2
@@ -516,12 +600,23 @@ ssl_1:
 global sys_sstore:
     // stack: trap, slot, value
     %push_ctx_meta(@CTX_ACCT_VPTR)
-    // journal the old value first (journal/storage_change.asm)
-    %stack (vptr, trap, slot) -> (vptr, slot, sss_1, vptr, trap, slot)
-    %jump(storage_read)
-sss_1:
-    // stack: old, vptr, trap, slot, value
+    // journal the old value first (journal/storage_change.asm); an
+    // ABSENT slot journals @J_SABSENT so revert deletes the fresh key
+    // instead of writing an explicit 0 (round-5 mpt_delete)
+    %stack (vptr, trap, slot) -> (vptr, slot, sss_0, vptr, trap, slot)
+    %jump(storage_probe)
+sss_0:
+    // stack: sv, vptr, trap, slot, value
+    DUP1
+    ISZERO
+    %jumpi(sss_absent)
+    %trie_read                   // [old, vptr, trap, slot, value]
     %stack (old, vptr, trap, slot, value) -> (@J_STORAGE, vptr, slot, old, sss_2, vptr, trap, slot, value)
+    %jump(journal_append)
+sss_absent:
+    // stack: sv(0), vptr, trap, slot, value
+    POP
+    %stack (vptr, trap, slot, value) -> (@J_SABSENT, vptr, slot, 0, sss_2, vptr, trap, slot, value)
     %jump(journal_append)
 sss_2:
     // stack: vptr, trap, slot, value

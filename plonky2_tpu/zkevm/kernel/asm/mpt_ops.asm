@@ -482,3 +482,268 @@ mi_ext_ro_direct:
     ADD
     %trie_write                  // [branch, cp, count, packed, vptr]
     %jump(mi_attach_new)
+
+// ------------------------------------------------------------- delete
+
+// mpt_delete(ptr, count, packed, retdest) -> newptr (host twin:
+// mpt.py trie_delete; reference cpu/kernel/asm/mpt/delete/delete.asm):
+// standard MPT deletion with branch collapse and extension merging.
+// A missing key returns the trie unchanged; traversing (or collapsing
+// past) a HASH node panics — the partial trie must cover the path and
+// the collapse sibling, exactly the reference's requirement.
+global mpt_delete:
+    DUP1
+    %trie_read                   // [type, ptr, count, packed, retdest]
+    DUP1
+    PUSH @MPT_EMPTY
+    EQ
+    %jumpi(md_unchanged)
+    DUP1
+    PUSH @MPT_LEAF
+    EQ
+    %jumpi(md_leaf)
+    DUP1
+    PUSH @MPT_EXTENSION
+    EQ
+    %jumpi(md_ext)
+    DUP1
+    PUSH @MPT_BRANCH
+    EQ
+    %jumpi(md_branch)
+    %jump(panic)
+
+md_unchanged:
+    // stack: type, ptr, count, packed, retdest
+    %stack (type, ptr, count, packed, retdest) -> (retdest, ptr)
+    JUMP
+
+md_leaf:
+    // stack: type, ptr, count, packed, retdest
+    POP
+    DUP1
+    PUSH 1
+    ADD
+    %trie_read                   // [ecount, ptr, count, packed]
+    DUP2
+    PUSH 2
+    ADD
+    %trie_read                   // [epacked, ecount, ptr, count, packed]
+    %stack (epacked, ecount, ptr, count, packed) -> (ecount, count, epacked, packed, ptr)
+    EQ
+    %stack (ceq, epacked, packed) -> (epacked, packed, ceq)
+    EQ
+    MUL                          // [match, ptr, retdest]
+    ISZERO
+    %jumpi(md_leaf_miss)
+    %stack (ptr, retdest) -> (retdest, 0)
+    JUMP
+md_leaf_miss:
+    SWAP1
+    JUMP
+
+md_ext:
+    // stack: type, ptr, count, packed, retdest
+    POP
+    DUP1
+    PUSH 1
+    ADD
+    %trie_read                   // [ecount, ptr, count, packed]
+    DUP2
+    PUSH 2
+    ADD
+    %trie_read                   // [epacked, ecount, ptr, count, packed]
+    %stack (epacked, ecount, ptr, count, packed) -> (ecount, epacked, count, packed, md_ext_cp, epacked, ecount, ptr, count, packed)
+    %jump(key_common_prefix)
+md_ext_cp:
+    // stack: cp, epacked, ecount, ptr, count, packed, retdest
+    DUP3
+    EQ                           // cp == ecount ?
+    ISZERO
+    %jumpi(md_ext_miss)
+    %stack (epacked, ecount, ptr, count, packed) -> (count, packed, ecount, md_ext_sfx, epacked, ecount, ptr)
+    %jump(key_suffix)
+md_ext_sfx:
+    // stack: sc, sp, epacked, ecount, ptr, retdest
+    DUP5
+    PUSH 3
+    ADD
+    %trie_read                   // [child, sc, sp, epacked, ecount, ptr]
+    %stack (child, sc, sp, epacked, ecount, ptr) -> (child, sc, sp, md_ext_del, ecount, epacked)
+    %jump(mpt_delete)
+md_ext_del:
+    // stack: newchild, ecount, epacked, retdest
+    %stack (newchild, ecount, epacked) -> (ecount, epacked, newchild, md_ext_done)
+    %jump(merge_extension)
+md_ext_done:
+    SWAP1
+    JUMP
+md_ext_miss:
+    %stack (epacked, ecount, ptr, count, packed, retdest) -> (retdest, ptr)
+    JUMP
+
+md_branch:
+    // stack: type, ptr, count, packed, retdest
+    POP
+    DUP2
+    ISZERO
+    %jumpi(md_br_value)
+    %stack (ptr, count, packed) -> (count, packed, md_br_head, ptr)
+    %jump(key_head)
+md_br_head:
+    // stack: first, cm1, rest, ptr, retdest
+    DUP4
+    PUSH 1
+    ADD
+    DUP2
+    ADD                          // [slot = ptr+1+first, first, cm1, rest, ptr]
+    DUP1
+    %trie_read                   // [child, slot, first, cm1, rest, ptr]
+    %stack (child, slot, first, cm1, rest, ptr) -> (child, cm1, rest, md_br_del, slot, ptr)
+    %jump(mpt_delete)
+md_br_del:
+    // stack: newchild, slot, ptr, retdest — mutate the child cell in
+    // place (same ownership argument as mpt_insert)
+    SWAP1
+    %trie_write                  // [ptr, retdest]
+    %stack (ptr) -> (ptr, md_br_done)
+    %jump(collapse_branch)
+md_br_done:
+    SWAP1
+    JUMP
+md_br_value:
+    // delete the branch's own value (unreachable for the fixed
+    // 64-nibble state/storage keys; host-twin parity)
+    // stack: ptr, count, packed, retdest
+    %stack (ptr, count, packed) -> (ptr, 17, 0, ptr)
+    ADD
+    %trie_write                  // TRIE[ptr+17] = 0
+    %stack (ptr) -> (ptr, md_br_done)
+    %jump(collapse_branch)
+
+// merge_extension(ecount, epacked, child, retdest) -> ptr: an
+// extension key over a possibly-collapsed child (mpt.py
+// _merge_extension).  LEAF/EXT children merge keys; BRANCH keeps an
+// extension node; EMPTY erases; HASH panics (blind merge).
+global merge_extension:
+    // stack: ecount, epacked, child, retdest
+    DUP3
+    %trie_read                   // [ctype, ecount, epacked, child]
+    DUP1
+    PUSH @MPT_EMPTY
+    EQ
+    %jumpi(me_empty)
+    DUP1
+    PUSH @MPT_LEAF
+    EQ
+    %jumpi(me_concat)
+    DUP1
+    PUSH @MPT_EXTENSION
+    EQ
+    %jumpi(me_concat)
+    DUP1
+    PUSH @MPT_BRANCH
+    EQ
+    ISZERO
+    %jumpi(panic)                // HASH: collapse sibling not present
+    %stack (ctype, ecount, epacked, child) -> (@MPT_EXTENSION, ecount, epacked, child, me_done)
+    %jump(make_node4)
+me_concat:
+    // stack: ctype, ecount, epacked, child — same type, key = e ++ c
+    DUP4
+    PUSH 1
+    ADD
+    %trie_read                   // [ccount, ctype, ecount, epacked, child]
+    DUP5
+    PUSH 2
+    ADD
+    %trie_read                   // [cpacked, ccount, ctype, ecount, epacked, child]
+    DUP6
+    PUSH 3
+    ADD
+    %trie_read                   // [ctail, cpacked, ccount, ctype, ecount, epacked, child]
+    %stack (ctail, cpacked, ccount, ctype, ecount, epacked, child) -> (ccount, 4, epacked, cpacked, ctype, ecount, ccount, ctail)
+    MUL                          // [4*ccount, epacked, cpacked, ...]
+    SHL                          // [epacked << 4*ccount, cpacked, ...]
+    ADD                          // [newpacked, ctype, ecount, ccount, ctail]
+    %stack (newpacked, ctype, ecount, ccount, ctail) -> (ecount, ccount, ctype, newpacked, ctail)
+    ADD                          // [newcount, ctype, newpacked, ctail]
+    %stack (newcount, ctype, newpacked, ctail) -> (ctype, newcount, newpacked, ctail, me_done)
+    %jump(make_node4)
+me_done:
+    SWAP1
+    JUMP
+me_empty:
+    %stack (ctype, ecount, epacked, child, retdest) -> (retdest, 0)
+    JUMP
+
+// collapse_branch(ptr, retdest) -> newptr: a branch left with one
+// child and no value collapses into that child prefixed by its nibble
+// (mpt.py _collapse_branch; reference delete/branch.asm)
+global collapse_branch:
+    // stack: ptr, retdest
+    PUSH 0                       // n
+    PUSH 0                       // last_i
+    PUSH 0                       // i
+cb_loop:
+    // stack: i, last_i, n, ptr, retdest
+    DUP1
+    PUSH 16
+    EQ
+    %jumpi(cb_scan_done)
+    DUP4
+    PUSH 1
+    ADD
+    DUP2
+    ADD                          // [ptr+1+i, i, last_i, n, ptr]
+    %trie_read                   // [child, i, last_i, n, ptr]
+    %trie_read                   // [ctype, ...] (child 0 reads EMPTY)
+    PUSH @MPT_EMPTY
+    EQ
+    %jumpi(cb_skip)
+    %stack (i, last_i, n) -> (n, 1, i, i)
+    ADD                          // [n+1, i, i]
+    %stack (np, li, i) -> (i, li, np)
+cb_skip:
+    PUSH 1
+    ADD
+    %jump(cb_loop)
+cb_scan_done:
+    // stack: 16, last_i, n, ptr, retdest
+    POP
+    DUP3
+    PUSH 17
+    ADD
+    %trie_read                   // [value, last_i, n, ptr, retdest]
+    DUP3
+    PUSH 1
+    LT                           // [1 < n, value, last_i, n, ptr]
+    %jumpi(cb_unchanged)
+    DUP3
+    ISZERO
+    %jumpi(cb_no_children)
+    DUP1
+    %jumpi(cb_unchanged)         // one child + a value: stays a branch
+    POP                          // [last_i, n, ptr]
+    DUP3
+    PUSH 1
+    ADD
+    DUP2
+    ADD
+    %trie_read                   // [child, last_i, n, ptr]
+    %stack (child, last_i, n, ptr) -> (1, last_i, child, cb_done)
+    %jump(merge_extension)
+cb_no_children:
+    // stack: value, last_i, n, ptr, retdest
+    DUP1
+    %jumpi(cb_value_leaf)
+    %stack (value, last_i, n, ptr, retdest) -> (retdest, 0)
+    JUMP
+cb_value_leaf:
+    %stack (value, last_i, n, ptr) -> (@MPT_LEAF, 0, 0, value, cb_done)
+    %jump(make_node4)
+cb_unchanged:
+    %stack (value, last_i, n, ptr, retdest) -> (retdest, ptr)
+    JUMP
+cb_done:
+    SWAP1
+    JUMP

@@ -260,6 +260,11 @@ brv_3:
 // nonce += 1), credit recipient + beneficiary, insert txn and receipt
 // into their tries at key rlp(0) = 0x80.
 global execute_transfer:
+    // sender authorization: recover from the signature and check the
+    // claimed sender (curve.asm; skipped when SIG_R = 0 — unsigned mode)
+    PUSH et_0
+    %jump(verify_txn_signature)
+et_0:
     %mload_global(@GLOBAL_TXN_SENDER)
     %stack (saddr) -> (saddr, et_1)
     %jump(addr_key)
@@ -347,7 +352,15 @@ et_3b:
     %journal_balance
     %jump(et_3d)
 et_3c:
+    // fresh recipient: journal the creation so a frame revert can
+    // delete the account again (contract.asm rj_create / mpt_delete);
+    // the beneficiary's later credit_account is deliberately NOT
+    // journaled — the fee persists across reverts
     POP
+    DUP1
+    %stack (k) -> (@J_CREATE, k, 0, 0, et_3cj)
+    %jump(journal_append)
+et_3cj:
 et_3d:
     // stack: tkey, retdest
     DUP1

@@ -208,6 +208,63 @@ def trie_insert(node, key: tuple, value: bytes):
     return Extension(key[:cp], out) if cp else out
 
 
+def trie_delete(node, key: tuple):
+    """Delete `key` (standard MPT deletion with branch collapse and
+    extension merging; twin of reference
+    evm/src/cpu/kernel/asm/mpt/delete/delete.asm semantics).  A missing
+    key returns the trie unchanged."""
+    t = type(node)
+    if t is Empty:
+        return node
+    if t is Hash:
+        raise LookupError("delete path leaves the partial trie")
+    if t is Leaf:
+        return Empty() if node.nibbles == key else node
+    if t is Extension:
+        n = len(node.nibbles)
+        if key[:n] != node.nibbles:
+            return node
+        return _merge_extension(node.nibbles,
+                                trie_delete(node.child, key[n:]))
+    if not key:
+        return _collapse_branch(Branch(node.children, b""))
+    ch = list(node.children)
+    ch[key[0]] = trie_delete(ch[key[0]], key[1:])
+    return _collapse_branch(Branch(tuple(ch), node.value))
+
+
+def _merge_extension(nibbles: tuple, child):
+    """Extension over a possibly-collapsed child (delete/extension.asm)."""
+    t = type(child)
+    if t is Empty:
+        return Empty()
+    if t is Leaf:
+        return Leaf(nibbles + child.nibbles, child.value)
+    if t is Extension:
+        return Extension(nibbles + child.nibbles, child.child)
+    return Extension(nibbles, child)
+
+
+def _collapse_branch(b: Branch):
+    """A branch left with one child and no value collapses into that
+    child prefixed by its nibble (delete/branch.asm)."""
+    nonempty = [(i, c) for i, c in enumerate(b.children)
+                if not isinstance(c, Empty)]
+    if len(nonempty) >= 2 or (b.value and nonempty):
+        return b
+    if not nonempty:
+        return Leaf((), b.value) if b.value else Empty()
+    i, c = nonempty[0]
+    t = type(c)
+    if t is Leaf:
+        return Leaf((i,) + c.nibbles, c.value)
+    if t is Extension:
+        return Extension((i,) + c.nibbles, c.child)
+    if t is Hash:
+        raise LookupError("collapsing past a hash node needs its contents")
+    return Extension((i,), c)
+
+
 # ------------------------------------------------------------- accounts
 
 @dataclass(frozen=True)

@@ -32,8 +32,9 @@ from .kernel.aggregator import (GLOBAL_BLOCK_BASE_FEE,
                                 GLOBAL_TXN_DATA_LEN, GLOBAL_TXN_GASPRICE,
                                 GLOBAL_TXN_NONCE, GLOBAL_TXN_ROOT_AFTER,
                                 GLOBAL_TXN_ROOT_BEFORE, GLOBAL_TXN_SENDER,
-                                GLOBAL_TXN_TO, GLOBAL_TXN_VALUE,
-                                build_kernel)
+                                GLOBAL_TXN_SIG_R, GLOBAL_TXN_SIG_S,
+                                GLOBAL_TXN_SIG_V, GLOBAL_TXN_TO,
+                                GLOBAL_TXN_VALUE, build_kernel)
 
 TXN_GAS = 21_000
 
@@ -66,6 +67,9 @@ class Transfer:
     nonce: int = 0
     gas_price: int = 0
     data: bytes = b""
+    # (v, r, s) legacy-txn signature over keccak(self.rlp()); None keeps
+    # the unsigned reduction (SIG_R = 0 skips the in-kernel check)
+    sig: tuple | None = None
 
     def rlp(self) -> bytes:
         """The txn-trie entry the kernel builds (txn.asm
@@ -73,6 +77,10 @@ class Transfer:
         data]) (legacy-txn reduction)."""
         return rlp.encode([self.nonce, self.gas_price, TXN_GAS, self.to,
                            self.value, self.data])
+
+    def sighash(self) -> int:
+        from ..hash.keccak import keccak256
+        return int.from_bytes(keccak256(self.rlp()), "big")
 
     def receipt_rlp(self, status: int = 1, gas_used: int = TXN_GAS) -> bytes:
         """rlp([status, gas_used, []]) (txn.asm build_receipt_value)."""
@@ -145,6 +153,31 @@ def _contract_inputs(inputs: GenerationInputs) -> list:
     return code_prover_inputs(inputs.contract_code[acct.code_hash])
 
 
+def sign_transfer(txn: Transfer, priv: int, k: int = None) -> Transfer:
+    """Attach a legacy signature; the sender is DERIVED from priv (any
+    mismatching `sender` field would make the block unprovable)."""
+    import dataclasses
+    from ..field import secp256k1 as secp
+    if k is None:  # deterministic nonce from the payload (tests only)
+        k = (txn.sighash() * 0x1337 + 1) % secp.SECP256K1_SCALAR.order
+    pub = secp.ec_mul((secp.GX, secp.GY), priv)
+    sender = secp.pubkey_to_address(pub)
+    txn = dataclasses.replace(txn, sender=sender)
+    v, r, s = secp.ecdsa_sign(txn.sighash(), priv, k)
+    return dataclasses.replace(txn, sig=(v, r, s))
+
+
+def _sig_inputs(inputs: GenerationInputs) -> list:
+    """PROVER_INPUT hints for verify_txn_signature (consumed between the
+    trie-load inputs and the contract-code inputs — curve.asm)."""
+    txn = inputs.txn
+    if txn is None or txn.sig is None:
+        return []
+    from ..field.secp256k1 import ecrecover_kernel_hints
+    v, r, s = txn.sig
+    return ecrecover_kernel_hints(txn.sighash(), v, r, s)
+
+
 def _get_account(state, address: bytes) -> mpt.Account | None:
     raw = mpt.trie_get(state, mpt.state_key(address))
     return mpt.Account.decode(raw) if raw is not None else None
@@ -161,6 +194,14 @@ def apply_transfer(inputs: GenerationInputs) -> mpt.TrieInputs:
     txn, md = inputs.txn, inputs.block_metadata
     if txn is None:   # empty block: identity on every trie
         return inputs.tries
+    if txn.sig is not None:
+        # host twin of verify_txn_signature: the kernel panics on a
+        # forged signature, so the block would be unprovable
+        from ..field import secp256k1 as secp
+        v, r, s = txn.sig
+        q = secp.ecdsa_recover(txn.sighash(), v, r, s)
+        assert q is not None and secp.pubkey_to_address(q) == txn.sender, \
+            "transaction signature does not recover the claimed sender"
     state = inputs.tries.state_trie
     sender = _get_account(state, txn.sender)
     assert sender is not None, "sender account missing"
@@ -223,6 +264,7 @@ def public_values(inputs: GenerationInputs) -> PublicValues:
     sim = Simulator(
         kernel=txn_kernel(), global_values=gv,
         prover_inputs=(mpt.state_prover_inputs(inputs.tries)
+                       + _sig_inputs(inputs)
                        + _contract_inputs(inputs)),
         max_cycles=4_000_000, trace=False)
     sim.run()
@@ -267,6 +309,9 @@ def global_values_for(pv: PublicValues) -> dict:
         GLOBAL_TXN_VALUE: txn.value,
         GLOBAL_TXN_NONCE: txn.nonce,
         GLOBAL_TXN_GASPRICE: txn.gas_price,
+        GLOBAL_TXN_SIG_V: txn.sig[0] if txn.sig else 0,
+        GLOBAL_TXN_SIG_R: txn.sig[1] if txn.sig else 0,
+        GLOBAL_TXN_SIG_S: txn.sig[2] if txn.sig else 0,
         GLOBAL_TXN_DATA_LEN: len(txn.data),
         # calldata words, 32 bytes each, big-endian, zero-padded right
         **{GLOBAL_TXN_DATA_BASE + j:
@@ -295,6 +340,7 @@ def simulate_transfer(inputs: GenerationInputs, trace: bool = True,
     sim = Simulator(
         kernel=txn_kernel(), global_values=global_values_for(pv),
         prover_inputs=(mpt.state_prover_inputs(inputs.tries)
+                       + _sig_inputs(inputs)
                        + _contract_inputs(inputs)),
         max_cycles=max_cycles, trace=trace)
     sim.run()
@@ -312,6 +358,7 @@ def prove_transfer(inputs: GenerationInputs, config: StarkConfig = None,
     proof, starks, ctls, sim = prove_program(
         kernel=txn_kernel(), global_values=global_values_for(pv),
         prover_inputs=(mpt.state_prover_inputs(inputs.tries)
+                       + _sig_inputs(inputs)
                        + _contract_inputs(inputs)),
         config=config, arith_limb_bits=arith_limb_bits)
     return proof, starks, ctls, pv

@@ -24,6 +24,19 @@ def test_context_tree_counts_gates():
     assert hash_node.gate_count() == 2  # two permutation rows
 
 
+def test_generate_constants_pins_baked_tables():
+    """tools/generate_constants.py must reproduce the baked Poseidon round
+    constants bit-exactly (reference plonky2/src/bin/generate_constants.rs:
+    ChaCha8 seeded via PCG32 from 0 + Lemire rejection sampling)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import generate_constants as gc
+    from plonky2_tpu.hash.poseidon_constants import ALL_ROUND_CONSTANTS
+    got = gc.generate()
+    assert got == [int(c) for c in ALL_ROUND_CONSTANTS]
+
+
 def test_secp256k1_fields():
     for params, mk in ((SECP256K1_BASE, base), (SECP256K1_SCALAR, scalar)):
         a = mk(123456789)

@@ -227,3 +227,33 @@ def test_wrong_code_panics():
     inputs.contract_code = {code_hash(code): forged}
     with pytest.raises((RuntimeError, AssertionError)):
         simulate_transfer(inputs)
+
+
+def test_contract_revert_fresh_slot_deletes_key():
+    """Round-5: SSTORE to a previously-ABSENT slot followed by REVERT
+    must restore the exact pre-state root — the journal records
+    @J_SABSENT and revert runs mpt_delete (the round-4 value-replay
+    gap: writing back 0 would leave an explicit zero leaf and a
+    different root)."""
+    code = contract_asm("""
+global ctr_main:
+    PUSH 123
+    PUSH 31        // slot 31 is absent in the pre-state (only 7 exists)
+    SSTORE
+    PUSH 55
+    PUSH 32        // second fresh slot
+    SSTORE
+    PUSH 100
+    PUSH 7         // existing slot: plain value-replay path
+    SSTORE
+    PUSH 0
+    PUSH 0
+    REVERT
+""")
+    inputs = make_inputs(code)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 1
+    # the reverted state must carry the ORIGINAL storage ({7: 42}) —
+    # not explicit zeros in slots 31/32
+    want_state = expected_after_state(inputs, {7: 42}, txn_reverted=True)
+    assert pv.trie_roots_after.state == want_state

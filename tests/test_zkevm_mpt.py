@@ -199,3 +199,77 @@ def test_kernel_hash_txn_receipt_tries():
                                    rlp.encode([1, 21000 * (i + 1), b""]))
     _check(mpt.TrieInputs(transactions_trie=txn_trie,
                           receipts_trie=receipts))
+
+
+# -------------------------------------------------- kernel mpt_delete
+
+MAIN_DELETE = """
+global main:
+    PUSH lat_done
+    %jump(load_all_tries)
+lat_done:
+    PROVER_INPUT                 // n_dels
+del_loop:
+    DUP1
+    ISZERO
+    %jumpi(del_done)
+    PUSH 1
+    SWAP1
+    SUB
+    PROVER_INPUT                 // count
+    PROVER_INPUT                 // packed
+    %mload_global(@GLOBAL_STATE_TRIE_PTR)
+    %stack (state, packed, count, n) -> (state, count, packed, del_1, n)
+    %jump(mpt_delete)
+del_1:
+    // stack: newstate, n
+    %mstore_global(@GLOBAL_STATE_TRIE_PTR)
+    %jump(del_loop)
+del_done:
+    POP
+    PUSH hst_done
+    %jump(hash_state_trie)
+hst_done:
+    HALT
+"""
+
+
+def _run_delete(trie_inputs: mpt.TrieInputs, keys: list) -> int:
+    kernel = build_kernel(main_source=MAIN_DELETE)
+    pin = mpt.state_prover_inputs(trie_inputs) + [len(keys)]
+    for k in keys:
+        pin += [len(k), mpt.pack_nibbles(k)]
+    sim = Simulator(kernel=kernel, prover_inputs=pin, trace=False,
+                    max_cycles=4_000_000)
+    sim.run()
+    return sim.final_stack[-1]
+
+
+def test_kernel_mpt_delete_matches_host():
+    """In-kernel deletion (mpt_ops.asm mpt_delete: branch collapse +
+    extension merge) against the host twin, across a churn that
+    exercises leaf removal, single-child collapse and ext merging."""
+    import random
+    rng = random.Random(11)
+    addrs = [bytes([rng.randrange(256) for _ in range(20)])
+             for _ in range(12)]
+    t = mpt.Empty()
+    for i, a in enumerate(addrs):
+        t = mpt.trie_insert(t, mpt.state_key(a),
+                            mpt.Account(nonce=i, balance=1000 + i).encode())
+    for ndel in (1, 5, 11, 12):
+        keys = [mpt.state_key(a) for a in addrs[:ndel]]
+        host = t
+        for k in keys:
+            host = mpt.trie_delete(host, k)
+        got = _run_delete(mpt.TrieInputs(state_trie=t), keys)
+        assert got == _digest_word(mpt.trie_hash(host)), ndel
+
+
+def test_kernel_mpt_delete_missing_key_is_identity():
+    a = bytes(range(20))
+    t = mpt.trie_insert(mpt.Empty(), mpt.state_key(a),
+                        mpt.Account(nonce=1, balance=2).encode())
+    other = mpt.state_key(bytes(range(1, 21)))
+    got = _run_delete(mpt.TrieInputs(state_trie=t), [other])
+    assert got == _digest_word(mpt.trie_hash(t))

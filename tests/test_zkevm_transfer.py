@@ -259,3 +259,83 @@ def test_empty_block():
                     trace=False, max_cycles=400_000)
     with pytest.raises(RuntimeError):
         sim.run()
+
+
+# -------------------------------------------------- signed transactions
+
+PRIV = 0x4646464646464646464646464646464646464646464646464646464646464646
+
+
+def _signed_inputs(value=4 * 10 ** 15, forge=False):
+    from plonky2_tpu.zkevm.transfer import sign_transfer
+    txn = sign_transfer(Transfer(sender=b"\x00" * 20, to=B, value=value,
+                                 nonce=5, gas_price=10), PRIV)
+    if forge:
+        import dataclasses
+        v, r, s = txn.sig
+        txn = dataclasses.replace(
+            txn, sig=(v, r, (s + 1) % (2 ** 256)))
+    state = mpt.Empty()
+    state = mpt.trie_insert(state, mpt.state_key(txn.sender),
+                            mpt.Account(nonce=5, balance=10 ** 18).encode())
+    return GenerationInputs(
+        txn=txn, tries=mpt.TrieInputs(state_trie=state),
+        block_metadata=BlockMetadata(beneficiary=COINBASE, number=1))
+
+
+def test_signed_transfer_in_kernel_ecrecover():
+    """The kernel recovers the sender from the legacy signature over
+    keccak(unsigned txn RLP) (curve.asm verify_txn_signature) and the
+    EIP-155-example key's address matches the claimed sender."""
+    inputs = _signed_inputs()
+    assert inputs.txn.sender.hex() == \
+        "9d8a62f656a8d1615c1294fd71e9cfb3e4855a4f"  # known 0x46..46 addr
+    sim, pv = simulate_transfer(inputs, trace=False, max_cycles=2_000_000)
+    after = apply_transfer(inputs)
+    assert pv.trie_roots_after.state == mpt.trie_hash(after.state_trie)
+
+
+def test_forged_signature_unprovable():
+    """A signature by a different key recovers a different address: the
+    kernel PANICs (no HALT row -> no proof), and the host twin raises."""
+    from plonky2_tpu.field import secp256k1 as secp
+    from plonky2_tpu.zkevm.transfer import (_sig_inputs, global_values_for,
+                                            txn_kernel)
+    inputs = _signed_inputs()
+    import dataclasses
+    v, r, s = inputs.txn.sig
+    other_k = 0xabcdef0123456789
+    v2, r2, s2 = secp.ecdsa_sign(inputs.txn.sighash(), PRIV + 2, other_k)
+    inputs.txn = dataclasses.replace(inputs.txn, sig=(v2, r2, s2))
+    with pytest.raises(AssertionError):
+        apply_transfer(inputs)
+    # kernel level: claimed sender unchanged, forged sig -> panic spin
+    from plonky2_tpu.zkevm.transfer import PublicValues, TrieRoots
+    roots = TrieRoots(mpt.trie_hash(inputs.tries.state_trie),
+                      mpt.trie_hash(inputs.tries.transactions_trie),
+                      mpt.trie_hash(inputs.tries.receipts_trie))
+    gv = global_values_for(PublicValues(roots, roots,
+                                        inputs.block_metadata, inputs.txn))
+    sim = Simulator(kernel=txn_kernel(), global_values=gv,
+                    prover_inputs=(mpt.state_prover_inputs(inputs.tries)
+                                   + _sig_inputs(inputs)),
+                    trace=False, max_cycles=1_500_000)
+    with pytest.raises(RuntimeError):
+        sim.run()
+
+
+def test_invalid_signature_hints_rejected_on_host():
+    from plonky2_tpu.field import secp256k1 as secp
+    with pytest.raises(AssertionError):
+        secp.ecrecover_kernel_hints(123, 29, 5, 5)      # bad v
+    with pytest.raises(AssertionError):
+        secp.ecrecover_kernel_hints(123, 27, 0, 5)      # r = 0
+
+
+def test_kernel_ladder_twin_matches_affine_recover():
+    from plonky2_tpu.field import secp256k1 as secp
+    h = 0x1c8aff950685c2ed4bc3174f3472287b56d9517b9c948127319a09a7a36deac8
+    for k in (12345, 2 ** 200 + 7):
+        v, r, s = secp.ecdsa_sign(h, PRIV, k)
+        a1 = secp.pubkey_to_address(secp.ecdsa_recover(h, v, r, s))
+        assert secp.ecrecover_kernel_twin(h, v, r, s) == a1
