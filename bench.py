@@ -101,6 +101,27 @@ def _poseidon_perms_per_sec(reps: int = 16) -> float:
     return b * reps / (time.perf_counter() - t0)
 
 
+def _stark_2e20_prove_seconds(runs: int = 2) -> float:
+    """BASELINE.md "Targets" north star: end-to-end STARK prove at 2^20
+    rows (Fibonacci AIR, standard fast config), best of `runs` — the
+    first run absorbs any residual compile cost (the persistent cache
+    usually covers it; tools/e2e_bench.py is the full-detail version)."""
+    from plonky2_tpu.stark.config import StarkConfig
+    from plonky2_tpu.stark.fibonacci import FibonacciStark
+    from plonky2_tpu.stark.prover import prove
+    stark = FibonacciStark(num_rows=1 << 20)
+    config = StarkConfig.standard_fast_config()
+    trace = stark.generate_trace(0, 1)
+    pis = np.array([0, 1, stark.expected_result(0, 1)], dtype=np.uint64)
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        prove(stark, config, trace, pis)
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return best
+
+
 def main():
     reps = 8
     results = {"radix8": _measure("radix8", reps)}
@@ -132,6 +153,16 @@ def main():
         # round-1 measured 5.7 M perms/s (BASELINE.md)
         out["poseidon_perms_per_sec"] = round(poseidon)
         out["poseidon_vs_round1"] = round(poseidon / 5.7e6, 2)
+    e2e = None
+    if jax.default_backend() != "cpu":
+        try:
+            e2e = _stark_2e20_prove_seconds()
+        except Exception:
+            pass
+    if e2e is not None:
+        # round-5 pre-optimization measurement: 68.5 s (BASELINE.md)
+        out["stark_2e20_prove_seconds"] = round(e2e, 2)
+        out["stark_2e20_rows_per_sec"] = round((1 << 20) / e2e)
     print(json.dumps(out))
 
 

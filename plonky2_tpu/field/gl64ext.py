@@ -230,3 +230,52 @@ class V64Ctx:
 
     def one(self):
         return self.constant(1)
+
+
+class I64:
+    """Python-int twin of V64 for SINGLE witness rows.
+
+    numpy's per-op overhead (~µs each, plus the errstate context managers
+    in gl64's wrapped ops) makes V64 ~1000x slower than plain python ints
+    at batch size 1 — and sequential generator chains (e.g. the
+    public-input hash sponge) level into single-row groups, which made
+    Poseidon witness generation the dominant cost of plonk proving
+    (BASELINE.md round 5: 321 s of a 537 s matmul prove)."""
+
+    __slots__ = ("v",)
+    _P = gl64.ORDER_INT
+
+    def __init__(self, v: int):
+        self.v = v % self._P
+
+    def _c(self, o):
+        return o.v if isinstance(o, I64) else int(o) % self._P
+
+    def __add__(self, o):
+        return I64(self.v + self._c(o))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return I64(self.v - self._c(o))
+
+    def __rsub__(self, o):
+        return I64(self._c(o) - self.v)
+
+    def __mul__(self, o):
+        return I64(self.v * self._c(o))
+
+    __rmul__ = __mul__
+
+
+class I64Ctx:
+    ext = False
+
+    def constant(self, v: int):
+        return I64(int(v))
+
+    def zero(self):
+        return I64(0)
+
+    def one(self):
+        return I64(1)

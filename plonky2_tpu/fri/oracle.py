@@ -125,8 +125,11 @@ class PolynomialBatch:
             # Merkle leaf order directly.
             log_n = log2_strict(n)
             from ..ops import mxu_lde3_pallas as _mxu3
+            # three-step kernel: opt-in while its Mosaic compile issue on
+            # the chip is open (tools/mxu_lde20_bench.py round 5); the
+            # balanced two-step split covers n > 2^17 at 1.08 G elems/s
             use3 = (log_n > 17 and _mxu3.use_mxu_lde3(log_n, rate_bits)
-                    and os.environ.get("PLONKY2_TPU_LDE3", "1") != "0")
+                    and os.environ.get("PLONKY2_TPU_LDE3", "0") == "1")
             if use3:
                 n2, n3 = _mxu3.pick_n2_n3(log_n, rate_bits)
                 mem = _mxu3.mxu_lde3(polynomials, rate_bits, COSET_SHIFT)

@@ -67,7 +67,10 @@ from .mxu_lde_pallas import (PLANE_DTYPE, _offset_form, _plane, _pow_matrix,
 from .poseidon_pallas import _fmul
 
 U32 = jnp.uint32
-DEF_TT1 = 128        # t1 rows per macro step (one full MXU M pass)
+# t1 rows per macro step: 128 would be one full MXU M pass, but the
+# Mosaic TPU backend crashes compiling the (tt1, n3*n2) -> (tt1*n3, n2)
+# relayout at tt1 = 128 (tools round-5 sweep); 64 compiles and runs
+DEF_TT1 = 64
 DEF_RB = 8           # step-3 rows per grid phase
 
 

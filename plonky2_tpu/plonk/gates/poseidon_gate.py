@@ -243,10 +243,30 @@ def poseidon_trace_wire_columns() -> list:
 def poseidon_generator_trace(dep_values: np.ndarray) -> np.ndarray:
     """Vectorised witness trace: dep_values (B, 13) = [12 inputs, swap] ->
     (B, len(trace columns)) wire values (reference gates/poseidon.rs generator).
-    """
-    ctx = V64Ctx()
-    inputs = [V64(dep_values[:, i]) for i in range(WIDTH)]
-    swap = V64(dep_values[:, WIDTH])
+
+    Small batches (sequential sponge chains level into 1-row groups) run
+    on python ints (gl64ext.I64): numpy per-op overhead made the V64 path
+    ~1 s per ROW, which dominated plonk witness generation wholesale
+    (BASELINE.md round 5)."""
+    from ...field.gl64ext import I64, I64Ctx
+    B = dep_values.shape[0]
+    # crossover: I64 ~5 ms/row flat; V64 ~1 s/group + ~3 ms/row
+    if B <= 128:
+        rows = []
+        for b in range(B):
+            out = _poseidon_trace_generic(
+                I64Ctx(), [I64(int(dep_values[b, i])) for i in range(WIDTH)],
+                I64(int(dep_values[b, WIDTH])))
+            rows.append([v.v for v in out])
+        return np.array(rows, dtype=np.uint64)
+    out = _poseidon_trace_generic(
+        V64Ctx(), [V64(dep_values[:, i]) for i in range(WIDTH)],
+        V64(dep_values[:, WIDTH]))
+    return np.stack([np.broadcast_to(v.v, dep_values[:, 0].shape)
+                     for v in out], axis=1)
+
+
+def _poseidon_trace_generic(ctx, inputs, swap) -> list:
     out = []
 
     deltas = []
@@ -289,4 +309,4 @@ def poseidon_generator_trace(dep_values: np.ndarray) -> np.ndarray:
         rc += 1
 
     out.extend(state)  # outputs
-    return np.stack([np.broadcast_to(v.v, dep_values[:, 0].shape) for v in out], axis=1)
+    return out

@@ -284,18 +284,100 @@ def _exclusive_prefix_product(v: GF) -> GF:
     return GF.concatenate([GF.ones((1,)), x[: n - 1]], axis=0)
 
 
+def _jitted_quotient(common):
+    """One jitted program per circuit for the whole quotient phase
+    (coset vanishing eval -> /Z_H -> coset IFFT -> chunks).
+
+    The eager formulation dispatched tens of thousands of device ops per
+    prove (~70 s of pure dispatch/tracing overhead at the m=64 matmul
+    shape, BASELINE.md round 5); tracing once per CommonCircuitData and
+    passing the per-proof challenges as ARRAYS (indexed into traced
+    scalars — eval_vanishing_poly's _elem passes elements through)
+    collapses that to one executable call."""
+    fn = getattr(common, "_quotient_jit", None)
+    if fn is not None:
+        return fn
+
+    import jax
+
+    n = common.degree()
+    qdb = (common.quotient_degree_factor - 1).bit_length()
+    next_step = 1 << qdb
+    lde_n = n << qdb
+    nc = common.config.num_challenges
+    num_constants = common.num_constants
+    sig = common.sigmas_range()
+    ppr = common.partial_products_range()
+    lk_start = common.num_zs_partial_products_polys()
+    lk_stop = lk_start + common.num_all_lookup_polys()
+    nd = 4 * nc if common.has_lookup() else 0
+
+    big_subgroup = gl64.two_adic_subgroup(common.degree_bits() + qdb)
+    xs_np = gl64.mul(big_subgroup, np.uint64(COSET_SHIFT))
+    zh = _z_h_on_coset(common.degree_bits(), qdb)
+    zh_tiled_np = np.tile(zh, n)
+    zh_inv_tiled_np = np.tile(gl64.batch_inv(zh), n)
+    next_perm = (np.arange(lde_n) + next_step) % lde_n
+
+    @jax.jit
+    def qfn(cs: GF, wires: GF, pps: GF, betas_gf: GF, gammas_gf: GF,
+            alphas_gf: GF, deltas_gf: GF, pis_hash_gf: GF) -> GF:
+        pps_next = pps.take(next_perm, axis=-1)
+        ctx = BaseBatchCtx()
+        xs = GF.from_u64(xs_np)
+        zh_tiled = GF.from_u64(zh_tiled_np)
+        l_0 = zh_tiled * batch_inv((xs - GF.ones(())) * GF.full((), n))
+        vars = EvalVars(
+            local_constants=[cs[i] for i in range(num_constants)],
+            local_wires=[wires[i] for i in range(common.config.num_wires)],
+            public_inputs_hash=[pis_hash_gf[i] for i in range(4)])
+        vanishing = eval_vanishing_poly(
+            ctx, common, xs, vars,
+            local_zs=[pps[i] for i in range(nc)],
+            next_zs=[pps_next[i] for i in range(nc)],
+            partial_products=[pps[i] for i in range(ppr.start, ppr.stop)],
+            s_sigmas=[cs[i] for i in range(sig.start, sig.stop)],
+            betas=[betas_gf[i] for i in range(nc)],
+            gammas=[gammas_gf[i] for i in range(nc)],
+            alphas=[alphas_gf[i] for i in range(nc)], l_0_x=l_0,
+            local_lookup_zs=[pps[i] for i in range(lk_start, lk_stop)],
+            next_lookup_zs=[pps_next[i] for i in range(lk_start, lk_stop)],
+            deltas=[deltas_gf[i] for i in range(nd)] if nd else None)
+        zh_inv_tiled = GF.from_u64(zh_inv_tiled_np)
+        quotient_values = GF.stack([v * zh_inv_tiled for v in vanishing],
+                                   axis=0)
+        quotient_coeffs = ntt.coset_intt(quotient_values, COSET_SHIFT)
+        return quotient_coeffs.reshape(
+            nc * common.quotient_degree_factor, n)
+
+    common._quotient_jit = qfn
+    return qfn
+
+
 def _compute_quotient_polys(common, prover_data, public_inputs_hash,
                             wires_commitment, pp_commitment, betas, gammas,
                             alphas, deltas=None) -> GF:
     """Evaluate the vanishing polynomial over the whole quotient coset,
-    divide by Z_H, and return quotient chunks (num_ch*deg_factor, n) coeffs."""
-    n = common.degree()
+    divide by Z_H, and return quotient chunks (num_ch*deg_factor, n) coeffs.
+
+    Off-CPU the phase runs as ONE jitted program per circuit
+    (_jitted_quotient) — the eager formulation's per-op dispatch cost
+    ~70 s at the m=64 matmul shape over the TPU tunnel.  XLA:CPU keeps
+    the eager path: compiling the whole gate-constraint graph as one
+    program is the known-pathological CPU case (CLAUDE.md), and the
+    per-op dispatch is local there anyway.  Flag override:
+    PLONKY2_TPU_JIT_QUOTIENT=1 forces the jit path, =0 forces eager."""
+    import os
+
+    import jax
+
+    flag = os.environ.get("PLONKY2_TPU_JIT_QUOTIENT", "auto")
+    use_jit = (flag == "1"
+               or (flag == "auto" and jax.default_backend() != "cpu"))
     qdb = (common.quotient_degree_factor - 1).bit_length()  # log2_ceil(8) = 3
     rate_bits = common.config.fri_config.rate_bits
     assert qdb <= rate_bits
     step = 1 << (rate_bits - qdb)
-    next_step = 1 << qdb
-    lde_n = n << qdb
 
     # LDE values at natural-order coset points, every `step`th point
     def lde_rows(commitment):
@@ -304,10 +386,32 @@ def _compute_quotient_polys(common, prover_data, public_inputs_hash,
     cs = lde_rows(prover_data.constants_sigmas_commitment)
     wires = lde_rows(wires_commitment)
     pps = lde_rows(pp_commitment)
+
+    if use_jit:
+        def chal(arr):
+            a = np.asarray(arr if arr is not None and len(arr) else [0],
+                           np.uint64)
+            return GF.from_u64(a)
+
+        return _jitted_quotient(common)(
+            cs, wires, pps, chal(betas), chal(gammas), chal(alphas),
+            chal(deltas), chal(np.asarray(public_inputs_hash, np.uint64)))
+    return _compute_quotient_polys_eager(
+        common, cs, wires, pps, public_inputs_hash, betas, gammas, alphas,
+        deltas)
+
+
+def _compute_quotient_polys_eager(common, cs, wires, pps,
+                                  public_inputs_hash, betas, gammas,
+                                  alphas, deltas=None) -> GF:
+    n = common.degree()
+    qdb = (common.quotient_degree_factor - 1).bit_length()
+    next_step = 1 << qdb
+    lde_n = n << qdb
+
     pps_next = pps.take((np.arange(lde_n) + next_step) % lde_n, axis=-1)
 
     nc = common.config.num_challenges
-    num_prods = common.num_partial_products
     local_constants = [cs[i] for i in range(common.num_constants)]
     s_sigmas = [cs[i] for i in common.sigmas_range()]
     local_wires = [wires[i] for i in range(common.config.num_wires)]

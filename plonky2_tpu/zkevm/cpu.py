@@ -98,6 +98,7 @@ META_RETSIZE = 9
 META_GAS_START = 10  # parent gas_used at entry (for sub-context metering)
 META_STATIC = 11     # STATICCALL flag (reference CTX_METADATA_STATIC)
 META_ACCT_VPTR = 12  # executing account's state-trie value pointer
+META_CKPT = 13       # journal length at frame entry (revert target)
 
 EXC_JUMPTABLE_BASE = 256    # exception handlers start here in SEG_JUMPTABLE
 

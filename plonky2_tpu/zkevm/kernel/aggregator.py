@@ -85,6 +85,8 @@ GLOBAL_TXN_SIG_V = 36        # 27 or 28
 GLOBAL_TXN_SIG_R = 37
 GLOBAL_TXN_SIG_S = 38
 GLOBAL_EC_BASE = 39          # curve.asm scratch-cell base pointer
+GLOBAL_CALL_DEPTH = 40       # message-call depth (EVM 1024 cap, sys_call)
+GLOBAL_FRAME_STATUS = 41     # last frame's exit status (contract_exit)
 GLOBAL_TXN_DATA_BASE = 64    # calldata words, 32 bytes each, big-endian
 GLOBAL_MIN_SP_BASE = 256
 
@@ -106,11 +108,14 @@ SYSCALL_ROUTES = {
     0x35: "sys_calldataload", 0x36: "sys_calldatasize",
     0x54: "sys_sload", 0x55: "sys_sstore",
     0xF3: "sys_return", 0xFD: "sys_revert",
+    # inner message calls (round 5)
+    0xF1: "sys_call", 0x3D: "sys_returndatasize",
+    0x3E: "sys_returndatacopy",
 }
 # user opcodes that grow the stack via their syscall handler (GAS,
 # environment pushes); the simulator traps EXC_STACK_OVERFLOW for
 # these before syscall dispatch
-SYSCALL_STACK_INCREASING = {0x5A, 0x30, 0x33, 0x34, 0x36}
+SYSCALL_STACK_INCREASING = {0x5A, 0x30, 0x33, 0x34, 0x36, 0x3D}
 EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
               "exc_stack_underflow", "exc_invalid_jump",
               "exc_invalid_jumpi", "exc_stack_overflow", "panic", "panic")
@@ -118,7 +123,7 @@ EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
 ASM_DIR = Path(__file__).parent / "asm"
 CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "signed.asm",
               "memory.asm", "rlp.asm", "mpt.asm", "mpt_ops.asm",
-              "curve.asm", "contract.asm", "txn.asm")
+              "curve.asm", "contract.asm", "precompiles.asm", "txn.asm")
 
 
 def user_opcode_is_valid(opcode: int) -> bool:
@@ -233,6 +238,9 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "CTX_CALLER": cpu.META_CALLER,
         "CTX_CALLVALUE": cpu.META_CALLVALUE,
         "CTX_CALLDATA_SIZE": cpu.META_CALLDATA_SIZE,
+        "CTX_PARENT_CTX": cpu.META_PARENT_CTX,
+        "CTX_PARENT_PC": cpu.META_PARENT_PC,
+        "CTX_CKPT": cpu.META_CKPT,
         "J_BALANCE": 1, "J_STORAGE": 2, "J_SABSENT": 3, "J_CREATE": 4,
         "GLOBAL_NEXT_CTX": GLOBAL_NEXT_CTX,
         "GLOBAL_TXN_FAILED": GLOBAL_TXN_FAILED,
@@ -248,6 +256,8 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "GLOBAL_TXN_SIG_R": GLOBAL_TXN_SIG_R,
         "GLOBAL_TXN_SIG_S": GLOBAL_TXN_SIG_S,
         "GLOBAL_EC_BASE": GLOBAL_EC_BASE,
+        "GLOBAL_CALL_DEPTH": GLOBAL_CALL_DEPTH,
+        "GLOBAL_FRAME_STATUS": GLOBAL_FRAME_STATUS,
         # secp256k1 (field/secp256k1.py; curve.asm ecrecover)
         "SECP_P": _secp.SECP256K1_BASE.order,
         "SECP_N": _secp.SECP256K1_SCALAR.order,

@@ -478,15 +478,32 @@ ec_cd_loop:
     %jump(ec_cd_loop)
 ec_cd_done:
     // stack: i, n, dsw, msw, child, tvptr, retdest
-    %stack (i, n, dsw, msw, child, tvptr) -> (child)
-    PUSH ec_ret
-    %mstore_global(@GLOBAL_EXEC_RET)
+    %stack (i, n, dsw, msw, child, tvptr) -> (child, child)
+    // per-frame exit metadata (round 5: uniform with sys_call frames):
+    // PARENT_CTX stays 0 (fresh cell), PARENT_PC = ec_ret, CKPT = the
+    // txn-level checkpoint set by execute_transfer
+    %seg_of(@SEGMENT_CTX_META)   // [cmsw, child]
+    %stack (cmsw) -> (cmsw, @CTX_PARENT_PC, ec_ret, cmsw)
+    MSTORE_GENERAL
+    %mload_global(@GLOBAL_JOURNAL_CKPT)
+    %stack (ck, cmsw) -> (cmsw, @CTX_CKPT, ck)
+    MSTORE_GENERAL
+    PUSH 1
+    %mstore_global(@GLOBAL_CALL_DEPTH)
+    // stack: child, retdest
     SET_CONTEXT                  // -> child context, sp = 0 (fresh META_SP)
     PUSH 0
     EXIT_KERNEL                  // user mode, pc 0, gas 0
 ec_ret:
     // contract_exit SET_CONTEXTed back to 0 and jumped here; the
-    // parent's SP (and with it [retdest]) was hardware-restored
+    // parent's SP (and with it [retdest]) was hardware-restored.
+    // A failed TOP frame fails the transaction (inner-frame failures
+    // only surface as CALL returning 0).
+    %mload_global(@GLOBAL_FRAME_STATUS)
+    %jumpi(ec_ret_ok)
+    PUSH 1
+    %mstore_global(@GLOBAL_TXN_FAILED)
+ec_ret_ok:
     JUMP
 ec_skip2:
     POP
@@ -494,40 +511,49 @@ ec_skip:
     POP
     JUMP
 
-// contract_exit(status, trap): finish the frame — accumulate the
-// child's gas, journal-revert on failure, return to the parent
-// (terminate.asm + journal/revert.asm reduced)
+// contract_exit(status, trap): finish the CURRENT frame — accumulate
+// the frame's gas, journal-revert to the frame's own checkpoint on
+// failure, publish the status, and return to the parent context at its
+// stored continuation (terminate.asm + journal/revert.asm; round 5:
+// fully per-frame via CTX_META, so sys_call frames nest arbitrarily)
 global contract_exit:
     SWAP1                        // [trap, status]
     PUSH 192
-    SHR                          // [child_gas, status]
+    SHR                          // [frame_gas, status]
     %mload_global(@GLOBAL_GAS_USED)
     ADD
     %mstore_global(@GLOBAL_GAS_USED)
     // stack: status
+    DUP1
+    %mstore_global(@GLOBAL_FRAME_STATUS)
     %jumpi(ce_done)              // nonzero: success
-    PUSH ce_f1
+    %push_ctx_meta(@CTX_CKPT)
+    %mstore_global(@GLOBAL_JOURNAL_CKPT)
+    PUSH ce_done
     %jump(revert_journal)
-ce_f1:
-    PUSH 1
-    %mstore_global(@GLOBAL_TXN_FAILED)
 ce_done:
-    PUSH 0
-    SET_CONTEXT                  // back to the parent (kernel, ctx 0)
+    %push_ctx_meta(@CTX_PARENT_PC)
+    %mstore_global(@GLOBAL_EXEC_RET)
+    %push_ctx_meta(@CTX_PARENT_CTX)
+    SET_CONTEXT                  // parent stack hardware-restored
     %mload_global(@GLOBAL_EXEC_RET)
     JUMP
 
-// a user fault inside a contract frame fails the txn (the ctx-0 path
+// a user fault inside a contract frame fails the frame (the ctx-0 path
 // in core.asm fault_exception halts the block instead)
 global contract_fault:
+    PUSH 0
+    %mstore_global(@GLOBAL_FRAME_STATUS)
+    PUSH 0
+    %mstore_global(@GLOBAL_RETURNDATA_LEN)
+    %push_ctx_meta(@CTX_CKPT)
+    %mstore_global(@GLOBAL_JOURNAL_CKPT)
     PUSH cf_1
     %jump(revert_journal)
 cf_1:
-    PUSH 1
-    %mstore_global(@GLOBAL_TXN_FAILED)
-    PUSH 0
-    %mstore_global(@GLOBAL_RETURNDATA_LEN)
-    PUSH 0
+    %push_ctx_meta(@CTX_PARENT_PC)
+    %mstore_global(@GLOBAL_EXEC_RET)
+    %push_ctx_meta(@CTX_PARENT_CTX)
     SET_CONTEXT
     %mload_global(@GLOBAL_EXEC_RET)
     JUMP
@@ -681,4 +707,314 @@ global sys_address:
     %push_ctx_meta(@CTX_ADDRESS)
     SWAP1
     %charge_gas(2)
+    EXIT_KERNEL
+
+// ------------------------------------------- inner message calls (CALL)
+
+// sys_call: contract -> contract message call (reduced twin of
+// reference core/call.asm).  CALL(gas, addr, value, argsOff, argsSize,
+// retOff, retSize) -> success.  The gas word is ignored (flat-gas
+// reduction — no 63/64 forwarding); args/ret address the byte-granular
+// SEGMENT_BYTES memory (the same memory RETURN/REVERT/KECCAK256 use).
+// Fail paths (depth cap, insufficient balance) push 0 without state
+// changes, exactly the EVM result; a reverting child undoes its own
+// journal (contract_exit) and the CALL pushes 0.
+global sys_call:
+    // stack: trap, gas, addr, value, argsOff, argsSize, retOff, retSize
+    SWAP1
+    POP                          // [trap, addr, value, ao, asz, ro, rs]
+    // depth cap (EVM 1024)
+    %mload_global(@GLOBAL_CALL_DEPTH)
+    PUSH 1024
+    EQ
+    %jumpi(sc_fail)
+    // caller must afford the value: bal(executing account) >= value
+    %push_ctx_meta(@CTX_ACCT_VPTR)
+    PUSH 1
+    ADD
+    %trie_read                   // [bal, trap, addr, value, ao, asz, ro, rs]
+    DUP4
+    SWAP1
+    LT                           // [bal < value, trap, ...]
+    %jumpi(sc_fail)
+    // journaled debit of the caller's account
+    %push_ctx_meta(@CTX_ACCT_VPTR)
+    DUP1
+    %journal_balance             // [vptr, trap, addr, value, ...]
+    DUP1
+    PUSH 1
+    ADD
+    %trie_read                   // [bal, vptr, trap, addr, value, ...]
+    DUP5
+    SWAP1
+    SUB                          // [bal - value, vptr, trap, ...]
+    SWAP1
+    PUSH 1
+    ADD
+    %trie_write                  // [trap, addr, value, ao, asz, ro, rs]
+    // callee account (created fresh when absent and journaled so a
+    // surrounding revert deletes it again — mpt_delete)
+    DUP2
+    %stack (a) -> (a, sc_k1)
+    %jump(addr_key)
+sc_k1:
+    // stack: key, trap, addr, value, ao, asz, ro, rs
+    DUP1
+    %mload_global(@GLOBAL_STATE_TRIE_PTR)
+    %stack (state, key) -> (state, 64, key, sc_k2)
+    %jump(mpt_read)
+sc_k2:
+    // stack: cvptr, key, trap, addr, value, ao, asz, ro, rs
+    DUP1
+    ISZERO
+    %jumpi(sc_create)
+    // existing callee: journaled credit
+    DUP1
+    %journal_balance
+    DUP1
+    PUSH 1
+    ADD
+    %trie_read                   // [cbal, cvptr, key, trap, addr, value, ...]
+    DUP6
+    ADD                          // [cbal + value, cvptr, key, ...]
+    DUP2
+    PUSH 1
+    ADD                          // [cvptr+1, cbal+value, cvptr, key, ...]
+    %trie_write                  // [cvptr, key, trap, addr, value, ...]
+    %jump(sc_have)
+sc_create:
+    // stack: cvptr(0), key, trap, addr, value, ao, asz, ro, rs
+    // EIP-158: a zero-value call to an absent account creates nothing
+    // (essential for precompile addresses, which are usually empty)
+    DUP5
+    ISZERO
+    %jumpi(sc_have)
+    POP
+    DUP1
+    %stack (k) -> (@J_CREATE, k, 0, 0, sc_cr1)
+    %jump(journal_append)
+sc_cr1:
+    // stack: key, trap, addr, value, ao, asz, ro, rs
+    DUP1
+    DUP5
+    SWAP1                        // [key, value, key, trap, ...]
+    %stack (k, v) -> (k, v, sc_cr2)
+    %jump(credit_account)
+sc_cr2:
+    // stack: key, trap, addr, value, ao, asz, ro, rs — re-read the vptr
+    DUP1
+    %mload_global(@GLOBAL_STATE_TRIE_PTR)
+    %stack (state, key) -> (state, 64, key, sc_have)
+    %jump(mpt_read)
+sc_have:
+    // stack: cvptr, key, trap, addr, value, ao, asz, ro, rs
+    SWAP1
+    POP                          // [cvptr, trap, addr, value, ao, asz, ro, rs]
+    // precompiled contracts: addresses 1..9 run in-kernel
+    // (precompiles.asm) after the value transfer, no child frame
+    DUP3
+    PUSH 10
+    SWAP1
+    LT                           // [addr < 10, cvptr, trap, addr, ...]
+    DUP4
+    ISZERO
+    ISZERO                       // [addr != 0, addr < 10, cvptr, ...]
+    AND
+    %jumpi(sc_precompile)
+    // absent callee (zero-value skip-create): plain success, no frame
+    DUP1
+    ISZERO
+    %jumpi(sc_no_acct)
+    DUP1
+    PUSH 3
+    ADD
+    %trie_read                   // [chash, cvptr, trap, ...]
+    DUP1
+    PUSH @EMPTY_CODE_HASH
+    EQ
+    %jumpi(sc_nocode)
+    // codeful callee: fresh child frame
+    %mload_global(@GLOBAL_NEXT_CTX)
+    PUSH 1
+    ADD
+    DUP1
+    %mstore_global(@GLOBAL_NEXT_CTX)
+    %stack (child, chash, cvptr) -> (chash, child, sc_code, child, cvptr)
+    %jump(load_contract_code)
+sc_code:
+    // stack: child, cvptr, trap, addr, value, ao, asz, ro, rs
+    %mload_global(@GLOBAL_CALL_DEPTH)
+    PUSH 1
+    ADD
+    %mstore_global(@GLOBAL_CALL_DEPTH)
+    DUP1
+    %seg_of(@SEGMENT_CTX_META)   // [cmsw, child, cvptr, trap, addr, value, ao, asz, ro, rs]
+    %stack (cmsw, child, cvptr) -> (cmsw, @CTX_ACCT_VPTR, cvptr, cmsw, child)
+    MSTORE_GENERAL               // [cmsw, child, trap, addr, value, ao, asz, ro, rs]
+    DUP4
+    %stack (a, cmsw) -> (cmsw, @CTX_ADDRESS, a, cmsw)
+    MSTORE_GENERAL
+    %push_ctx_meta(@CTX_ADDRESS) // caller frame's own address
+    %stack (m, cmsw) -> (cmsw, @CTX_CALLER, m, cmsw)
+    MSTORE_GENERAL
+    DUP5
+    %stack (v, cmsw) -> (cmsw, @CTX_CALLVALUE, v, cmsw)
+    MSTORE_GENERAL
+    DUP7
+    %stack (n, cmsw) -> (cmsw, @CTX_CALLDATA_SIZE, n, cmsw)
+    MSTORE_GENERAL
+    GET_CONTEXT
+    %stack (p, cmsw) -> (cmsw, @CTX_PARENT_CTX, p, cmsw)
+    MSTORE_GENERAL
+    %stack (cmsw) -> (cmsw, @CTX_PARENT_PC, sc_ret, cmsw)
+    MSTORE_GENERAL
+    // frame checkpoint = journal length BEFORE this CALL's own debit +
+    // credit/create entries (always exactly 2), so a child revert also
+    // undoes the value transfer
+    %mload_global(@GLOBAL_JOURNAL_LEN)
+    PUSH 2
+    SWAP1
+    SUB
+    %stack (ck, cmsw) -> (cmsw, @CTX_CKPT, ck)
+    MSTORE_GENERAL               // [child, trap, addr, value, ao, asz, ro, rs]
+    // copy calldata: caller BYTES[ao .. ao+asz) -> child CALLDATA[0..)
+    GET_CONTEXT
+    %seg_of(@SEGMENT_BYTES)      // [srcsw, child, trap, addr, value, ao, asz, ro, rs]
+    DUP2
+    %seg_of(@SEGMENT_CALLDATA)   // [dstsw, srcsw, child, trap, addr, value, ao, asz, ro, rs]
+    PUSH 0
+sc_cd_loop:
+    // stack: i, dstsw, srcsw, child, trap, addr, value, ao, asz, ro, rs
+    DUP9
+    DUP2
+    EQ
+    %jumpi(sc_cd_done)
+    DUP1
+    DUP9
+    ADD                          // [ao+i, i, dstsw, srcsw, ...]
+    DUP4
+    SWAP1                        // [ao+i, srcsw, i, dstsw, srcsw, ...]
+    SWAP1                        // [srcsw, ao+i, i, dstsw, srcsw, ...]
+    MLOAD_GENERAL                // [b, i, dstsw, srcsw, child, ...]
+    %stack (b, i, dstsw) -> (dstsw, i, b, i, dstsw)
+    MSTORE_GENERAL               // [i, dstsw, srcsw, child, ...]
+    PUSH 1
+    ADD
+    %jump(sc_cd_loop)
+sc_cd_done:
+    // stack: i, dstsw, srcsw, child, trap, addr, value, ao, asz, ro, rs
+    %stack (i, dstsw, srcsw, child, trap, addr, value, ao, asz, ro, rs) -> (child, trap, ro, rs)
+    SET_CONTEXT                  // saves the caller stack [trap, ro, rs]
+    PUSH 0
+    EXIT_KERNEL                  // callee runs at pc 0, empty stack
+sc_precompile:
+    // stack: cvptr, trap, addr, value, ao, asz, ro, rs
+    POP
+    SWAP1                        // [addr, trap, value, ao, asz, ro, rs]
+    %jump(precompile_dispatch)
+sc_ret:
+    // child exited; ctx = caller (kernel mode), stack: trap, ro, rs
+    %mload_global(@GLOBAL_CALL_DEPTH)
+    PUSH 1
+    SWAP1
+    SUB
+    %mstore_global(@GLOBAL_CALL_DEPTH)
+global sc_ret_precompile:
+    // n = min(rs, returndata_len)
+    %mload_global(@GLOBAL_RETURNDATA_LEN)
+    DUP4
+    DUP2
+    GT                           // [rdlen > rs, rdlen, trap, ro, rs]
+    ISZERO
+    %jumpi(sc_rd_n)
+    POP
+    DUP3                         // n = rs
+sc_rd_n:
+    // stack: n, trap, ro, rs
+    GET_CONTEXT
+    %seg_of(@SEGMENT_BYTES)      // [bsw, n, trap, ro, rs]
+    PUSH 0
+sc_rd_loop:
+    // stack: i, bsw, n, trap, ro, rs
+    DUP3
+    DUP2
+    EQ
+    %jumpi(sc_rd_done)
+    DUP1
+    PUSH @SEGMENT_RETURNDATA
+    MLOAD_GENERAL                // [b, i, bsw, n, trap, ro, rs]
+    DUP2
+    DUP7
+    ADD                          // [ro+i, b, i, bsw, n, trap, ro, rs]
+    DUP4
+    SWAP1                        // [ro+i, bsw, b, i, bsw, ...]
+    SWAP1                        // [bsw, ro+i, b, i, bsw, n, trap, ro, rs]
+    MSTORE_GENERAL               // [i, bsw, n, trap, ro, rs]
+    PUSH 1
+    ADD
+    %jump(sc_rd_loop)
+sc_rd_done:
+    // stack: i, bsw, n, trap, ro, rs
+    %stack (i, bsw, n) -> ()
+    %mload_global(@GLOBAL_FRAME_STATUS)
+    %stack (status, trap, ro, rs) -> (trap, status)
+    %charge_gas(100)
+    EXIT_KERNEL
+sc_no_acct:
+    // stack: cvptr(0), trap, addr, value, ao, asz, ro, rs
+    PUSH 0                       // shape-match sc_nocode's [chash, cvptr]
+sc_nocode:
+    // plain value transfer: success, empty returndata
+    // stack: chash, cvptr, trap, addr, value, ao, asz, ro, rs
+    POP
+    POP
+    PUSH 0
+    %mstore_global(@GLOBAL_RETURNDATA_LEN)
+    %stack (trap, addr, value, ao, asz, ro, rs) -> (trap, 1)
+    %charge_gas(100)
+    EXIT_KERNEL
+sc_fail:
+    // stack: trap, addr, value, ao, asz, ro, rs
+    PUSH 0
+    %mstore_global(@GLOBAL_RETURNDATA_LEN)
+    %stack (trap, addr, value, ao, asz, ro, rs) -> (trap, 0)
+    %charge_gas(100)
+    EXIT_KERNEL
+
+global sys_returndatasize:
+    %mload_global(@GLOBAL_RETURNDATA_LEN)
+    SWAP1
+    %charge_gas(2)
+    EXIT_KERNEL
+
+global sys_returndatacopy:
+    // stack: trap, destOff, off, len — (0, RETURNDATA)[off+i] ->
+    // BYTES[destOff+i]; reads past returndata are fresh zeros
+    GET_CONTEXT
+    %seg_of(@SEGMENT_BYTES)      // [bsw, trap, destOff, off, len]
+    PUSH 0
+src_rdc_loop:
+    // stack: i, bsw, trap, destOff, off, len
+    DUP6
+    DUP2
+    EQ
+    %jumpi(src_rdc_done)
+    DUP1
+    DUP6
+    ADD                          // [off+i, i, bsw, trap, destOff, off, len]
+    PUSH @SEGMENT_RETURNDATA
+    MLOAD_GENERAL                // [b, i, bsw, trap, destOff, off, len]
+    DUP2
+    DUP6
+    ADD                          // [destOff+i, b, i, bsw, ...]
+    DUP4
+    SWAP1                        // [destOff+i, bsw, b, ...]
+    SWAP1                        // [bsw, destOff+i, b, i, bsw, trap, destOff, off, len]
+    MSTORE_GENERAL               // [i, bsw, trap, destOff, off, len]
+    PUSH 1
+    ADD
+    %jump(src_rdc_loop)
+src_rdc_done:
+    %stack (i, bsw, trap, destOff, off, len) -> (trap)
+    %charge_gas(3)
     EXIT_KERNEL

@@ -169,3 +169,70 @@ mload_be_loop:
 mload_be_done:
     %stack (addr, n, acc, retdest) -> (retdest, acc)
     JUMP
+
+// mload_be_gen(segword, addr, n, retdest) -> word: big-endian read of
+// n <= 32 bytes from any byte-granular segment (fresh reads are 0)
+global mload_be_gen:
+    // stack: segword, addr, n, retdest
+    %stack (segword, addr, n) -> (0, n, addr, segword, 0)
+    // stack: i, n, addr, segword, acc, retdest
+mbg_loop:
+    DUP2
+    DUP2
+    EQ
+    %jumpi(mbg_done)
+    // byte = seg[addr + i]
+    DUP3
+    DUP2
+    ADD                          // [addr+i, i, n, addr, segword, acc]
+    DUP5                         // [segword, addr+i, i, n, addr, segword, acc]
+    MLOAD_GENERAL                // [b, i, n, addr, segword, acc]
+    DUP6
+    PUSH 8
+    SHL                          // [acc<<8, b, i, n, addr, segword, acc]
+    ADD                          // [acc', i, n, addr, segword, acc]
+    SWAP5
+    POP                          // [i, n, addr, segword, acc']
+    PUSH 1
+    ADD
+    %jump(mbg_loop)
+mbg_done:
+    // stack: i, n, addr, segword, acc, retdest
+    %stack (i, n, addr, segword, acc, retdest) -> (retdest, acc)
+    JUMP
+
+// mstore_be_gen(segword, addr, value, n, retdest): big-endian write of
+// the low n <= 32 bytes of value into any byte-granular segment
+global mstore_be_gen:
+    // stack: segword, addr, value, n, retdest
+    SWAP3                        // [n, addr, value, segword, retdest]
+msg_loop:
+    DUP1
+    ISZERO
+    %jumpi(msg_done)
+    PUSH 1
+    SWAP1
+    SUB                          // [n-1, addr, value, segword]
+    // byte = (value >> 8*(n-1)) & 0xff at seg[addr + n-1... wait
+    // big-endian: byte j (0-based from addr) = (value >> 8*(n-1-j));
+    // iterate n-1 down to 0 writing seg[addr+k] = (value >> 8*(n-1-k)).
+    // Equivalent: this iteration writes k = n-1 with the LOW byte, then
+    // shifts value right by 8.
+    DUP2
+    DUP2
+    ADD                          // [addr+(n-1), n-1, addr, value, segword]
+    DUP4
+    PUSH 0xff
+    AND                          // [value&0xff, addr+(n-1), n-1, addr, value, segword]
+    SWAP1                        // [addr+(n-1), byte, n-1, addr, value, segword]
+    DUP6                         // [segword, addr+(n-1), byte, ...]
+    MSTORE_GENERAL               // [n-1, addr, value, segword]
+    SWAP2                        // [value, addr, n-1, segword]
+    PUSH 8
+    SHR                          // [value>>8, addr, n-1, segword]
+    SWAP2                        // [n-1, addr, value>>8, segword]
+    %jump(msg_loop)
+msg_done:
+    // stack: n(0), addr, value, segword, retdest
+    %stack (n, addr, value, segword, retdest) -> (retdest)
+    JUMP

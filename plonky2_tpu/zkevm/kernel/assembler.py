@@ -40,6 +40,8 @@ MNEMONICS.update({
     "CALLDATALOAD": 0x35, "CALLDATASIZE": 0x36,
     "SLOAD": 0x54, "SSTORE": 0x55,
     "RETURN": 0xF3, "REVERT": 0xFD, "INVALID": 0xFE,
+    # inner message calls (round 5, contract.asm sys_call)
+    "CALL": 0xF1, "RETURNDATASIZE": 0x3D, "RETURNDATACOPY": 0x3E,
 })
 for _i in range(16):
     MNEMONICS[f"DUP{_i + 1}"] = 0x80 + _i

@@ -181,4 +181,8 @@ SYSCALL_MIN_STACK = {
     0x55: 2,   # SSTORE(slot, value)
     0xF3: 2,   # RETURN(offset, len)
     0xFD: 2,   # REVERT(offset, len)
+    # inner message calls (round 5, kernel/asm/contract.asm sys_call)
+    0xF1: 7,   # CALL(gas, addr, value, argsOff, argsSize, retOff, retSize)
+    0x3D: 0,   # RETURNDATASIZE
+    0x3E: 3,   # RETURNDATACOPY(destOff, off, len)
 }

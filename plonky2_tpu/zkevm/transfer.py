@@ -104,6 +104,17 @@ class GenerationInputs:
     tries: mpt.TrieInputs = field(default_factory=mpt.TrieInputs)
     block_metadata: BlockMetadata = field(default_factory=BlockMetadata)
     contract_code: dict = field(default_factory=dict)
+    # code hashes loaded by INNER message calls (sys_call), in dynamic
+    # call order — each CALL to a code-bearing account consumes one more
+    # code stream from the prover inputs (contract.asm
+    # load_contract_code; the reference keys these loads through its
+    # ProverInputFn oracle instead, generation/prover_input.rs)
+    inner_code_loads: list = field(default_factory=list)
+    # further PROVER_INPUT words consumed after the code loads, in
+    # order — e.g. the [y, r_inv, z_inv] hints of each in-contract
+    # ecrecover precompile call (precompiles.asm;
+    # field/secp256k1.py ecrecover_kernel_hints)
+    extra_prover_inputs: list = field(default_factory=list)
 
 
 @dataclass(frozen=True)
@@ -143,14 +154,18 @@ def code_prover_inputs(code: list) -> list:
 
 
 def _contract_inputs(inputs: GenerationInputs) -> list:
-    """Prover inputs for the recipient's code, when it has any."""
+    """Prover inputs for the recipient's code plus every inner CALL's
+    code load, in consumption order."""
     txn = inputs.txn
     if txn is None:
         return []
+    out = []
     acct = _get_account(inputs.tries.state_trie, txn.to)
-    if acct is None or acct.code_hash == mpt.EMPTY_CODE_HASH:
-        return []
-    return code_prover_inputs(inputs.contract_code[acct.code_hash])
+    if acct is not None and acct.code_hash != mpt.EMPTY_CODE_HASH:
+        out += code_prover_inputs(inputs.contract_code[acct.code_hash])
+    for chash in inputs.inner_code_loads:
+        out += code_prover_inputs(inputs.contract_code[chash])
+    return out + list(inputs.extra_prover_inputs)
 
 
 def sign_transfer(txn: Transfer, priv: int, k: int = None) -> Transfer:

@@ -8,17 +8,27 @@ import numpy as np
 import pytest
 
 from plonky2_tpu.field import gl64
+from plonky2_tpu.fri.config import FriConfig, FriReductionStrategy
 from plonky2_tpu.models.matrix_mul import (build_matrix_mul_circuit,
                                            matrix_mul_witness)
 from plonky2_tpu.parallel.mesh import make_mesh
+from plonky2_tpu.plonk.config import CircuitConfig
 from plonky2_tpu.utils.serialization import proof_with_pis_to_bytes
 
 P = gl64.ORDER_INT
 
+# the fast FRI config (tests/conftest pattern): the sharded SPMD programs
+# at standard_recursion_config cost >45 min of XLA:CPU compiles on the
+# 1-core CI box; the mesh pipeline under test is config-independent
+FAST = CircuitConfig(fri_config=FriConfig(
+    rate_bits=3, cap_height=4, proof_of_work_bits=8,
+    reduction_strategy=FriReductionStrategy.constant_arity(4, 5),
+    num_query_rounds=4))
+
 
 @pytest.fixture(scope="module")
 def matmul_circuit():
-    return build_matrix_mul_circuit(2)
+    return build_matrix_mul_circuit(2, FAST)
 
 
 def test_distributed_plonk_prove_byte_identical(matmul_circuit, rng):

@@ -257,3 +257,263 @@ global ctr_main:
     # not explicit zeros in slots 31/32
     want_state = expected_after_state(inputs, {7: 42}, txn_reverted=True)
     assert pv.trie_roots_after.state == want_state
+
+
+# ------------------------------------------------- inner message calls
+
+B_CONTRACT = bytes.fromhex("1000000000000000000000000000000000000001")
+
+
+def make_two_contract_inputs(code_a: list, code_b: list, txn_value=5,
+                             b_balance=50):
+    """A (txn recipient) CALLs B; both carry code."""
+    ha, hb = code_hash(code_a), code_hash(code_b)
+    storage_a = storage_with({7: 42})
+    state = mpt.Empty()
+    state = mpt.trie_insert(state, mpt.state_key(SENDER),
+                            mpt.Account(nonce=3, balance=10 ** 18).encode())
+    state = mpt.trie_insert(
+        state, mpt.state_key(CONTRACT),
+        mpt.Account(nonce=1, balance=1000,
+                    storage_root=mpt.trie_hash(storage_a),
+                    code_hash=ha).encode())
+    state = mpt.trie_insert(
+        state, mpt.state_key(B_CONTRACT),
+        mpt.Account(nonce=1, balance=b_balance, code_hash=hb).encode())
+    txn = Transfer(sender=SENDER, to=CONTRACT, value=txn_value, nonce=3,
+                   gas_price=GAS_PRICE)
+    tries = mpt.TrieInputs(
+        state_trie=state,
+        storage_tries=[(mpt.state_key(CONTRACT), storage_a),
+                       (mpt.state_key(B_CONTRACT), mpt.Empty())])
+    return GenerationInputs(
+        txn, tries, BlockMetadata(beneficiary=BENEFICIARY),
+        contract_code={ha: code_a, hb: code_b},
+        inner_code_loads=[hb])
+
+
+def _two_contract_expected(inputs, a_slots, b_slots, b_balance,
+                           a_value_delta):
+    txn = inputs.txn
+    fee = txn.gas_price * TXN_GAS
+    state = mpt.Empty()
+    state = mpt.trie_insert(
+        state, mpt.state_key(SENDER),
+        mpt.Account(nonce=4, balance=10 ** 18 - fee - txn.value).encode())
+    hb = inputs.inner_code_loads[0]
+    ha = [h for h in inputs.contract_code if h != hb][0]
+    sa = storage_with(a_slots)
+    state = mpt.trie_insert(
+        state, mpt.state_key(CONTRACT),
+        mpt.Account(nonce=1, balance=1000 + txn.value + a_value_delta,
+                    storage_root=mpt.trie_hash(sa), code_hash=ha).encode())
+    sb = storage_with(b_slots)
+    state = mpt.trie_insert(
+        state, mpt.state_key(B_CONTRACT),
+        mpt.Account(nonce=1, balance=b_balance,
+                    storage_root=mpt.trie_hash(sb),
+                    code_hash=hb).encode())
+    state = mpt.trie_insert(
+        state, mpt.state_key(BENEFICIARY),
+        mpt.Account(balance=fee).encode())
+    return mpt.trie_hash(state)
+
+
+A_CALLS_B = """
+global a_main:
+    PUSH 32            // retSize
+    PUSH 0             // retOff
+    PUSH 0             // argsSize
+    PUSH 0             // argsOff
+    PUSH 7             // value
+    PUSH 0x1000000000000000000000000000000000000001
+    PUSH 0             // gas (ignored, flat-gas reduction)
+    CALL               // -> status
+    PUSH 1
+    ADD                // status + 1 (avoid storing an explicit 0)
+    PUSH 1
+    SSTORE             // A.storage[1] = status + 1
+    RETURNDATASIZE
+    PUSH 1
+    ADD
+    PUSH 2
+    SSTORE             // A.storage[2] = returndatasize + 1
+    STOP
+"""
+
+
+def test_inner_call_success_value_and_returndata():
+    """A calls B; B stores CALLVALUE, returns 3 bytes; A records the
+    status and returndata size.  Value moves A -> B inside the frame
+    (core/call.asm semantics, reduced)."""
+    code_a = contract_asm(A_CALLS_B)
+    code_b = contract_asm("""
+global b_main:
+    CALLVALUE
+    PUSH 5
+    SSTORE             // B.storage[5] = callvalue (7)
+    PUSH 0x99
+    PUSH 0
+    MSTORE8
+    PUSH 3             // len
+    PUSH 0             // offset
+    RETURN
+""")
+    inputs = make_two_contract_inputs(code_a, code_b)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    want = _two_contract_expected(
+        inputs, a_slots={7: 42, 1: 2, 2: 4},      # status+1=2, rdsize+1=4
+        b_slots={5: 7}, b_balance=57, a_value_delta=-7)
+    assert pv.trie_roots_after.state == want
+
+
+def test_inner_call_revert_rolls_back_child_only():
+    """A calls B; B SSTOREs (incl. a fresh slot) and REVERTs.  A observes
+    status 0, B's state AND the 7-wei transfer are rolled back, but A's
+    own writes and the txn itself succeed."""
+    code_a = contract_asm(A_CALLS_B)
+    code_b = contract_asm("""
+global b_main:
+    PUSH 123
+    PUSH 5
+    SSTORE             // fresh slot -> @J_SABSENT entry
+    PUSH 0
+    PUSH 0
+    REVERT
+""")
+    inputs = make_two_contract_inputs(code_a, code_b)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    # the child revert undoes B's storage AND the 7-wei value transfer
+    want = _two_contract_expected(
+        inputs, a_slots={7: 42, 1: 1, 2: 1},      # status+1=1, rdsize+1=1
+        b_slots={}, b_balance=50, a_value_delta=0)
+    assert pv.trie_roots_after.state == want
+
+
+def test_inner_call_to_codeless_account_transfers():
+    """CALL to an account with no code is a plain transfer: status 1,
+    empty returndata."""
+    code_a = contract_asm(A_CALLS_B)
+    inputs = make_two_contract_inputs(code_a, contract_asm("STOP"))
+    # strip B's code: account without code, no inner loads
+    state = inputs.tries.state_trie
+    state = mpt.trie_insert(
+        state, mpt.state_key(B_CONTRACT),
+        mpt.Account(nonce=1, balance=50).encode())
+    inputs.tries = mpt.TrieInputs(
+        state_trie=state, storage_tries=inputs.tries.storage_tries)
+    inputs.inner_code_loads = []
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+
+
+# ------------------------------------------------------- precompiles
+
+def test_precompile_identity_and_expmod():
+    """CALL to 0x04 (identity) and 0x05 (expmod, one-word operands):
+    in-kernel dispatch (precompiles.asm), returndata observable via
+    RETURNDATASIZE and the simulator's RETURNDATA segment."""
+    code_a = contract_asm("""
+global a_main:
+    // ---- expmod(3^5 mod 7) = 5: header sizes 1/1/1 + operands
+    PUSH 1
+    PUSH 31
+    MSTORE8
+    PUSH 1
+    PUSH 63
+    MSTORE8
+    PUSH 1
+    PUSH 95
+    MSTORE8
+    PUSH 3
+    PUSH 96
+    MSTORE8
+    PUSH 5
+    PUSH 97
+    MSTORE8
+    PUSH 7
+    PUSH 98
+    MSTORE8
+    PUSH 32            // retSize
+    PUSH 128           // retOff
+    PUSH 99            // argsSize
+    PUSH 0             // argsOff
+    PUSH 0             // value
+    PUSH 5             // addr: expmod
+    PUSH 0             // gas
+    CALL
+    PUSH 1
+    ADD
+    PUSH 1
+    SSTORE             // slot1 = status + 1 (2 on success)
+    RETURNDATASIZE
+    PUSH 2
+    SSTORE             // slot2 = msize (1)
+    // ---- identity over the 6 header bytes we wrote
+    PUSH 8             // retSize
+    PUSH 160           // retOff
+    PUSH 99            // argsSize
+    PUSH 0             // argsOff
+    PUSH 0             // value
+    PUSH 4             // addr: identity
+    PUSH 0             // gas
+    CALL
+    PUSH 1
+    ADD
+    PUSH 3
+    SSTORE             // slot3 = status + 1
+    RETURNDATASIZE
+    PUSH 4
+    SSTORE             // slot4 = 99
+    STOP
+""")
+    inputs = make_inputs(code_a, txn_value=0)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    want_state = expected_after_state(
+        inputs, {7: 42, 1: 2, 2: 1, 3: 2, 4: 99}, txn_reverted=False)
+    assert pv.trie_roots_after.state == want_state
+
+
+def test_precompile_ecrecover():
+    """CALL to 0x01 runs the curve.asm Jacobian-ladder ecrecover; the
+    three inversion hints ride GenerationInputs.extra_prover_inputs."""
+    from plonky2_tpu.field import secp256k1 as secp
+    priv = 0x1111111111111111111111111111111111111111111111111111111111111111
+    h = 0x5aadbeefcafef00d5aadbeefcafef00d5aadbeefcafef00d5aadbeefcafef00d
+    v, r, s = secp.ecdsa_sign(h, priv, 424242)
+    expected = secp.pubkey_to_address(secp.ecdsa_recover(h, v, r, s))
+    data = (h.to_bytes(32, "big") + v.to_bytes(32, "big")
+            + r.to_bytes(32, "big") + s.to_bytes(32, "big"))
+    writes = "".join(f"    PUSH {b}\n    PUSH {i}\n    MSTORE8\n"
+                     for i, b in enumerate(data) if b)
+    code_a = contract_asm(f"""
+global a_main:
+{writes}
+    PUSH 32            // retSize
+    PUSH 128           // retOff
+    PUSH 128           // argsSize
+    PUSH 0             // argsOff
+    PUSH 0             // value
+    PUSH 1             // addr: ecrecover
+    PUSH 0             // gas
+    CALL
+    PUSH 1
+    ADD
+    PUSH 1
+    SSTORE
+    STOP
+""")
+    inputs = make_inputs(code_a, txn_value=0)
+    inputs.extra_prover_inputs = secp.ecrecover_kernel_hints(h, v, r, s)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    from plonky2_tpu.zkevm.cpu import SEG_RETURNDATA
+    got = bytes(sim.memory.get((0, SEG_RETURNDATA, i), 0)
+                for i in range(32))
+    assert got[:12] == b"\x00" * 12 and got[12:] == expected
+    want_state = expected_after_state(
+        inputs, {7: 42, 1: 2}, txn_reverted=False)
+    assert pv.trie_roots_after.state == want_state
