@@ -102,7 +102,9 @@ def sharded_stark_quotient_values(stark, trace_lde: GF, xs: np.ndarray,
                                   alphas, degree_bits: int, qdb: int,
                                   mesh, axis: str = "d",
                                   public_inputs=(), perm_lde: GF = None,
-                                  challenge_sets=None, config=None) -> GF:
+                                  challenge_sets=None, config=None,
+                                  num_perm_zs: int = None,
+                                  ctl_zs_columns=None) -> GF:
     """Evaluate a STARK's alpha-folded constraint quotient on the coset,
     sharded by coset rows (stark analogue of plonk/prover.rs:576, laid
     out as SP over the row axis).
@@ -111,6 +113,12 @@ def sharded_stark_quotient_values(stark, trace_lde: GF, xs: np.ndarray,
     xs: (M,) the coset points.  perm_lde (optional): (num_zs, M) coset
     evaluations of the permutation Z polynomials, same sharding — their
     checks (starky permutation.rs:232) fold into the same accumulators.
+
+    Multi-table mode (stark/multi.py:272 sharded twin): when
+    ctl_zs_columns is given, perm_lde carries BOTH permutation and CTL Z
+    rows — the first num_perm_zs are permutation Zs, the remaining ones
+    pair with ctl_zs_columns and their running-product checks
+    (cross_table_lookup.rs:374) fold into the same accumulators.
     Returns (num_challenges, M) quotient values, row-sharded.
     """
     from ..field.goldilocks import batch_inv
@@ -155,14 +163,26 @@ def sharded_stark_quotient_values(stark, trace_lde: GF, xs: np.ndarray,
                                       lag_last)
         stark.eval_generic(ctx, vars, consumer)
         if with_perm:
-            from ..stark.permutation import eval_permutation_checks
-            (perm_blk,) = perm_blks
-            perm_next = _next_with_halo(perm_blk, next_step, axis)
-            eval_permutation_checks(
-                ctx, stark, config, vars,
-                [perm_blk[i] for i in range(perm_blk.shape[0])],
-                [perm_next[i] for i in range(perm_next.shape[0])],
-                challenge_sets, consumer)
+            (zs_blk,) = perm_blks
+            zs_next = _next_with_halo(zs_blk, next_step, axis)
+            n_perm = (zs_blk.shape[0] if num_perm_zs is None
+                      else num_perm_zs)
+            if n_perm:
+                from ..stark.permutation import eval_permutation_checks
+                eval_permutation_checks(
+                    ctx, stark, config, vars,
+                    [zs_blk[i] for i in range(n_perm)],
+                    [zs_next[i] for i in range(n_perm)],
+                    challenge_sets, consumer)
+            if ctl_zs_columns is not None:
+                from ..stark.ctl import (CtlCheckVars,
+                                         eval_cross_table_lookup_checks)
+                ctl_vars = [
+                    CtlCheckVars(zs_blk[n_perm + i], zs_next[n_perm + i],
+                                 zc.challenge, zc.columns, zc.filter_column)
+                    for i, zc in enumerate(ctl_zs_columns)]
+                eval_cross_table_lookup_checks(ctx, vars, ctl_vars,
+                                               consumer)
         zh_inv = batch_inv(zh_blk)
         return GF.stack([acc * zh_inv for acc in consumer.accumulators()],
                         axis=0)

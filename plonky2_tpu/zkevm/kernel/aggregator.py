@@ -87,6 +87,8 @@ GLOBAL_TXN_SIG_S = 38
 GLOBAL_EC_BASE = 39          # curve.asm scratch-cell base pointer
 GLOBAL_CALL_DEPTH = 40       # message-call depth (EVM 1024 cap, sys_call)
 GLOBAL_FRAME_STATUS = 41     # last frame's exit status (contract_exit)
+GLOBAL_LOG_COUNT = 42        # surviving event logs (logs.asm sys_log)
+GLOBAL_LOG_ALLOC = 43        # (0, SEG_LOGS) bump allocator
 GLOBAL_TXN_DATA_BASE = 64    # calldata words, 32 bytes each, big-endian
 GLOBAL_MIN_SP_BASE = 256
 
@@ -111,6 +113,11 @@ SYSCALL_ROUTES = {
     # inner message calls (round 5)
     0xF1: "sys_call", 0x3D: "sys_returndatasize",
     0x3E: "sys_returndatacopy",
+    # event logs (logs.asm)
+    0xA0: "sys_log", 0xA1: "sys_log", 0xA2: "sys_log",
+    0xA3: "sys_log", 0xA4: "sys_log",
+    # contract creation (create.asm)
+    0xF0: "sys_create", 0xF5: "sys_create2",
 }
 # user opcodes that grow the stack via their syscall handler (GAS,
 # environment pushes); the simulator traps EXC_STACK_OVERFLOW for
@@ -123,7 +130,8 @@ EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
 ASM_DIR = Path(__file__).parent / "asm"
 CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "signed.asm",
               "memory.asm", "rlp.asm", "mpt.asm", "mpt_ops.asm",
-              "curve.asm", "contract.asm", "precompiles.asm", "txn.asm")
+              "curve.asm", "contract.asm", "precompiles.asm", "logs.asm",
+              "create.asm", "txn.asm")
 
 
 def user_opcode_is_valid(opcode: int) -> bool:
@@ -233,6 +241,7 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "SEGMENT_RETURNDATA": cpu.SEG_RETURNDATA,
         "SEGMENT_CTX_META": cpu.SEG_CTX_META,
         "SEGMENT_JOURNAL": cpu.SEG_JOURNAL,
+        "SEGMENT_LOGS": cpu.SEG_LOGS,
         "CTX_ACCT_VPTR": cpu.META_ACCT_VPTR,
         "CTX_ADDRESS": cpu.META_ADDRESS,
         "CTX_CALLER": cpu.META_CALLER,
@@ -242,6 +251,9 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "CTX_PARENT_PC": cpu.META_PARENT_PC,
         "CTX_CKPT": cpu.META_CKPT,
         "J_BALANCE": 1, "J_STORAGE": 2, "J_SABSENT": 3, "J_CREATE": 4,
+        "J_LOG": 5, "J_NONCE": 6, "J_CODEHASH": 7,
+        "GLOBAL_LOG_COUNT": GLOBAL_LOG_COUNT,
+        "GLOBAL_LOG_ALLOC": GLOBAL_LOG_ALLOC,
         "GLOBAL_NEXT_CTX": GLOBAL_NEXT_CTX,
         "GLOBAL_TXN_FAILED": GLOBAL_TXN_FAILED,
         "GLOBAL_GAS_USED": GLOBAL_GAS_USED,

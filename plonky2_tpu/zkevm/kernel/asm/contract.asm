@@ -120,9 +120,21 @@ rj_loop:
     PUSH @J_SABSENT
     EQ
     %jumpi(rj_sabsent)
+    DUP1
     PUSH @J_CREATE
     EQ
     %jumpi(rj_create)
+    DUP1
+    PUSH @J_LOG
+    EQ
+    %jumpi(rj_log)
+    DUP1
+    PUSH @J_NONCE
+    EQ
+    %jumpi(rj_nonce)
+    PUSH @J_CODEHASH
+    EQ
+    %jumpi(rj_codehash)
     %jump(panic)
 rj_balance:
     // stack: type, base, retdest — entry [_, vptr, old_bal, _]
@@ -182,8 +194,9 @@ rj_sabsent:
     %stack (slot, vptr) -> (vptr, slot, rj_loop)
     %jump(storage_delete)
 rj_create:
-    // stack: base, retdest — entry [_, state_key, 0, 0]: delete the
-    // account created inside the reverted frame from the state trie
+    // stack: type, base, retdest — entry [_, state_key, 0, 0]: delete
+    // the account created inside the reverted frame from the state trie
+    POP
     PUSH 1
     ADD
     PUSH @SEGMENT_JOURNAL
@@ -194,6 +207,58 @@ rj_create:
 rj_cr1:
     // stack: newstate, retdest
     %mstore_global(@GLOBAL_STATE_TRIE_PTR)
+    %jump(rj_loop)
+
+rj_log:
+    // stack: type, base, retdest — entry [_, old_count, old_alloc, _]:
+    // truncate the log list back to its pre-frame state (logs.asm)
+    POP
+    DUP1
+    PUSH 1
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [old_count, base, retdest]
+    %mstore_global(@GLOBAL_LOG_COUNT)
+    PUSH 2
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [old_alloc, retdest]
+    %mstore_global(@GLOBAL_LOG_ALLOC)
+    %jump(rj_loop)
+
+rj_nonce:
+    // stack: type, base, retdest — entry [_, vptr, old_nonce, _]
+    POP
+    DUP1
+    PUSH 1
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [vptr, base, retdest]
+    SWAP1
+    PUSH 2
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [old_nonce, vptr, retdest]
+    SWAP1
+    %trie_write                  // TRIE[vptr] = old_nonce
+    %jump(rj_loop)
+
+rj_codehash:
+    // stack: base, retdest — entry [_, vptr, old_hash, _]
+    DUP1
+    PUSH 1
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [vptr, base, retdest]
+    PUSH 3
+    ADD                          // [vptr+3, base, retdest]
+    SWAP1
+    PUSH 2
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [old_hash, vptr+3, retdest]
+    SWAP1
+    %trie_write                  // TRIE[vptr+3] = old_hash
     %jump(rj_loop)
 
 rj_done:

@@ -38,6 +38,22 @@
     MLOAD_GENERAL
 %endmacro
 
+// [.., trap_copy] -> [.., opcode] : the opcode that raised a SYSCALL.
+// Syscall traps save pc+1 (the continuation) where exception traps
+// save the faulting pc, hence the extra -1 vs %opcode_from_trap_info.
+%macro opcode_from_syscall_trap
+    PUSH 0xffffffff
+    AND
+    PUSH 1
+    SWAP1
+    SUB                          // [pc = (trap & m32) - 1, ..]
+    DUP1
+    ADD
+    GET_CONTEXT
+    %seg_of(@SEGMENT_CODE)
+    MLOAD_GENERAL
+%endmacro
+
 // [.., trap] -> [.., trap + $cost<<192] : charge gas in the saved word
 %macro charge_gas(cost)
     PUSH $cost

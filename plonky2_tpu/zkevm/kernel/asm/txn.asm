@@ -211,12 +211,15 @@ btv_6:
     // stack: addr, len, retdest
     %jump(rlp_to_trie_bytes)
 
-// build_receipt_value(retdest) -> vptr: rlp([status, gas_used, []])
-// with status = 1 - @GLOBAL_TXN_FAILED (a contract REVERT/fault sets
-// the flag; fresh reads default to 0 = success) and gas_used = 21000 +
-// the executed frames' gas (@GLOBAL_GAS_USED)
+// build_receipt_value(retdest) -> vptr: the full legacy receipt
+// payload rlp([status, cum_gas, bloom, logs]) (reference receipt
+// encoding, mpt/hash + core/log.asm bloom) with
+//   status  = 1 - @GLOBAL_TXN_FAILED,
+//   cum_gas = 21000 + the executed frames' gas (@GLOBAL_GAS_USED),
+//   bloom   = the 256-byte logs bloom (logs.asm build_log_bloom),
+//   logs    = the surviving logs list (logs.asm encode_logs_rlp).
 global build_receipt_value:
-    PUSH 6
+    PUSH 8
     %trie_alloc
     %mload_global(@GLOBAL_TXN_FAILED)
     PUSH 1
@@ -239,21 +242,31 @@ brv_2:
     %trie_write
     ADD
     %trie_write
-    // empty log list: the single byte 0xc0
-    PUSH 1
-    %rlp_alloc                   // [a, scratch]
-    DUP1
-    PUSH 0xc0
-    SWAP1
-    %rlp_write                   // [a, scratch]
-    %stack (a, scratch) -> (scratch, 4, a, scratch, 5, 1, scratch)
-    ADD
-    %trie_write
-    ADD
-    %trie_write
-    %stack (scratch) -> (scratch, 3, brv_3)
-    %jump(cat_items)
+    // the 2048-bit bloom as a 256-byte string item
+    PUSH brv_3
+    %jump(build_log_bloom)
 brv_3:
+    // stack: baddr, scratch, retdest
+    %stack (baddr) -> (baddr, 256, brv_4)
+    %jump(rlp_wrap_string)
+brv_4:
+    %stack (a, l, scratch) -> (scratch, 4, a, scratch, 5, l, scratch)
+    ADD
+    %trie_write
+    ADD
+    %trie_write
+    // the logs list
+    PUSH brv_5
+    %jump(encode_logs_rlp)
+brv_5:
+    %stack (a, l, scratch) -> (scratch, 6, a, scratch, 7, l, scratch)
+    ADD
+    %trie_write
+    ADD
+    %trie_write
+    %stack (scratch) -> (scratch, 4, brv_6)
+    %jump(cat_items)
+brv_6:
     %jump(rlp_to_trie_bytes)
 
 // execute_transfer(retdest): debit sender (nonce check, balance check,

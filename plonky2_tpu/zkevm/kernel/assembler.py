@@ -42,6 +42,11 @@ MNEMONICS.update({
     "RETURN": 0xF3, "REVERT": 0xFD, "INVALID": 0xFE,
     # inner message calls (round 5, contract.asm sys_call)
     "CALL": 0xF1, "RETURNDATASIZE": 0x3D, "RETURNDATACOPY": 0x3E,
+    # event logs (logs.asm sys_log)
+    "LOG0": 0xA0, "LOG1": 0xA1, "LOG2": 0xA2, "LOG3": 0xA3, "LOG4": 0xA4,
+    # contract creation (create.asm); user-mode 0xf5 is CREATE2 (the
+    # kernel-only SET_CONTEXT native shares the byte)
+    "CREATE": 0xF0, "CREATE2": 0xF5,
 })
 for _i in range(16):
     MNEMONICS[f"DUP{_i + 1}"] = 0x80 + _i

@@ -185,4 +185,13 @@ SYSCALL_MIN_STACK = {
     0xF1: 7,   # CALL(gas, addr, value, argsOff, argsSize, retOff, retSize)
     0x3D: 0,   # RETURNDATASIZE
     0x3E: 3,   # RETURNDATACOPY(destOff, off, len)
+
+    0xA0: 2,   # LOG0(offset, size)
+    0xA1: 3,   # LOG1(offset, size, t1)
+    0xA2: 4,   # LOG2(offset, size, t1, t2)
+    0xA3: 5,   # LOG3(offset, size, t1, t2, t3)
+    0xA4: 6,   # LOG4(offset, size, t1..t4)
+
+    0xF0: 3,   # CREATE(value, offset, size)
+    0xF5: 4,   # CREATE2(value, offset, size, salt)
 }

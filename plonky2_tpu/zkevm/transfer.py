@@ -82,9 +82,13 @@ class Transfer:
         from ..hash.keccak import keccak256
         return int.from_bytes(keccak256(self.rlp()), "big")
 
-    def receipt_rlp(self, status: int = 1, gas_used: int = TXN_GAS) -> bytes:
-        """rlp([status, gas_used, []]) (txn.asm build_receipt_value)."""
-        return rlp.encode([status, gas_used, []])
+    def receipt_rlp(self, status: int = 1, gas_used: int = TXN_GAS,
+                    logs: list = ()) -> bytes:
+        """The legacy receipt payload rlp([status, cum_gas, bloom,
+        logs]) (txn.asm build_receipt_value; reference receipt
+        encoding).  `logs` is a list of (address20, [topic_ints],
+        data_bytes)."""
+        return receipt_payload(status, gas_used, list(logs))
 
 
 @dataclass
@@ -132,6 +136,29 @@ class PublicValues:
     trie_roots_after: TrieRoots
     block_metadata: BlockMetadata
     txn: Transfer | None
+
+
+def logs_bloom(logs: list) -> bytes:
+    """The 2048-bit receipt bloom (logs.asm build_log_bloom twin):
+    3 bits per value (log address + each topic), from the keccak
+    digest's byte pairs (0,1),(2,3),(4,5) mod 2048."""
+    from ..hash.keccak import keccak256
+    bloom = bytearray(256)
+    for address, topics, _data in logs:
+        for value in [address] + [int(t).to_bytes(32, "big")
+                                  for t in topics]:
+            h = keccak256(value)
+            for k in range(3):
+                m = ((h[2 * k] << 8) | h[2 * k + 1]) & 0x7FF
+                bloom[255 - (m >> 3)] |= 1 << (m & 7)
+    return bytes(bloom)
+
+
+def receipt_payload(status: int, cum_gas: int, logs: list) -> bytes:
+    """rlp([status, cum_gas, bloom, [[addr, [topics], data]..]])."""
+    items = [[address, [int(t).to_bytes(32, "big") for t in topics], data]
+             for address, topics, data in logs]
+    return rlp.encode([status, cum_gas, logs_bloom(logs), items])
 
 
 def code_serialization(code: list) -> bytes:

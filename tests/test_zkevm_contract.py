@@ -82,10 +82,10 @@ def expected_after_state(inputs, contract_slots, txn_reverted):
     return mpt.trie_hash(state)
 
 
-def expected_txn_receipt_roots(txn, status, gas_used):
+def expected_txn_receipt_roots(txn, status, gas_used, logs=()):
     key0 = mpt.bytes_to_nibbles(rlp.encode(0))
     txn_root = mpt.trie_hash(mpt.trie_insert(mpt.Empty(), key0, txn.rlp()))
-    receipt = rlp.encode([status, TXN_GAS + gas_used, []])
+    receipt = txn.receipt_rlp(status, TXN_GAS + gas_used, logs)
     receipt_root = mpt.trie_hash(mpt.trie_insert(mpt.Empty(), key0, receipt))
     return txn_root, receipt_root
 
@@ -517,3 +517,281 @@ global a_main:
     want_state = expected_after_state(
         inputs, {7: 42, 1: 2}, txn_reverted=False)
     assert pv.trie_roots_after.state == want_state
+
+
+# ------------------------------------------------------- event logs
+
+def _receipt_root_after(sim):
+    from plonky2_tpu.zkevm.kernel.aggregator import GLOBAL_RECEIPT_ROOT_AFTER
+    return int(sim.memory[(0, SEG_GLOBAL,
+                           GLOBAL_RECEIPT_ROOT_AFTER)]).to_bytes(32, "big")
+
+
+def test_logs_receipt_bloom_and_payload():
+    """LOG1 + LOG2 land in the receipt as rlp([status, gas, bloom,
+    logs]) with the EVM bloom bits — pinned against the independent
+    host encoder (transfer.receipt_payload / logs_bloom; kernel side
+    logs.asm + txn.asm build_receipt_value)."""
+    code = contract_asm("""
+global ctr_main:
+    PUSH 0x68
+    PUSH 0
+    MSTORE8
+    PUSH 0x69
+    PUSH 1
+    MSTORE8
+    PUSH 0x1234        // topic1
+    PUSH 2             // size
+    PUSH 0             // offset
+    LOG1
+    PUSH 0xdead        // topic2
+    PUSH 0xbeef        // topic1
+    PUSH 0
+    PUSH 0
+    LOG2
+    STOP
+""")
+    inputs = make_inputs(code, txn_value=5)
+    sim, pv = simulate_transfer(inputs, trace=False)
+    gas = int(sim.memory[(0, SEG_GLOBAL, GLOBAL_GAS_USED)])
+    logs = [(CONTRACT, [0x1234], b"hi"), (CONTRACT, [0xBEEF, 0xDEAD], b"")]
+    _, want = expected_txn_receipt_roots(inputs.txn, 1, gas, logs)
+    assert _receipt_root_after(sim) == want
+    assert pv.trie_roots_after.receipts == want
+
+
+def test_reverted_top_frame_drops_logs():
+    """A REVERTing frame truncates its own logs (@J_LOG journal replay):
+    the receipt carries status 0, an all-zero bloom, and no logs."""
+    code = contract_asm("""
+global ctr_main:
+    PUSH 0x42
+    PUSH 0
+    PUSH 0
+    LOG1
+    PUSH 0
+    PUSH 0
+    REVERT
+""")
+    inputs = make_inputs(code, txn_value=0)
+    sim, pv = simulate_transfer(inputs, trace=False)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 1
+    gas = int(sim.memory[(0, SEG_GLOBAL, GLOBAL_GAS_USED)])
+    _, want = expected_txn_receipt_roots(inputs.txn, 0, gas, logs=())
+    assert _receipt_root_after(sim) == want
+
+
+def test_inner_call_revert_truncates_child_logs():
+    """A logs, calls B (which logs then reverts), then logs again: the
+    receipt keeps exactly A's two logs, in order — the child's log span
+    is rolled back without touching the parent's."""
+    code_a = contract_asm("""
+global a_main:
+    PUSH 0xA1          // topic
+    PUSH 0
+    PUSH 0
+    LOG1
+    PUSH 0             // retSize
+    PUSH 0             // retOff
+    PUSH 0             // argsSize
+    PUSH 0             // argsOff
+    PUSH 0             // value
+    PUSH 0x1000000000000000000000000000000000000001
+    PUSH 0             // gas
+    CALL
+    POP
+    PUSH 0xC3          // topic
+    PUSH 0
+    PUSH 0
+    LOG1
+    STOP
+""")
+    code_b = contract_asm("""
+global b_main:
+    PUSH 0xB2
+    PUSH 0
+    PUSH 0
+    LOG1
+    PUSH 0
+    PUSH 0
+    REVERT
+""")
+    inputs = make_two_contract_inputs(code_a, code_b)
+    sim, pv = simulate_transfer(inputs, trace=False)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    gas = int(sim.memory[(0, SEG_GLOBAL, GLOBAL_GAS_USED)])
+    logs = [(CONTRACT, [0xA1], b""), (CONTRACT, [0xC3], b"")]
+    _, want = expected_txn_receipt_roots(inputs.txn, 1, gas, logs)
+    assert _receipt_root_after(sim) == want
+
+
+# ------------------------------------------------- contract creation
+
+def _create_expected_state(inputs, a_slots, a_nonce, a_balance,
+                           created=None):
+    """Post-state for single-contract CREATE tests: sender paid fee +
+    value, A at CONTRACT with the given slots/nonce/balance, optionally
+    a created account (addr, nonce, balance, code_hash)."""
+    txn = inputs.txn
+    fee = txn.gas_price * TXN_GAS
+    sa = storage_with(a_slots)
+    chash = next(iter(inputs.contract_code))
+    state = mpt.Empty()
+    state = mpt.trie_insert(
+        state, mpt.state_key(SENDER),
+        mpt.Account(nonce=4, balance=10 ** 18 - fee - txn.value).encode())
+    state = mpt.trie_insert(
+        state, mpt.state_key(CONTRACT),
+        mpt.Account(nonce=a_nonce, balance=a_balance,
+                    storage_root=mpt.trie_hash(sa),
+                    code_hash=chash).encode())
+    if created is not None:
+        addr, nonce, balance, code = created
+        state = mpt.trie_insert(
+            state, mpt.state_key(addr),
+            mpt.Account(nonce=nonce, balance=balance,
+                        code_hash=code).encode())
+    state = mpt.trie_insert(state, mpt.state_key(BENEFICIARY),
+                            mpt.Account(balance=fee).encode())
+    return mpt.trie_hash(state)
+
+
+def test_create_deploys_account():
+    """CREATE from 33 zero init bytes (= one STOP instruction): a fresh
+    account appears at keccak(rlp([creator, nonce]))[12:] with nonce 1
+    and the endowment; the creator's nonce bumps; the new address is
+    CREATE's result (create.asm)."""
+    code = contract_asm("""
+global a_main:
+    PUSH 33            // size
+    PUSH 0             // offset
+    PUSH 1             // value
+    CREATE
+    PUSH 1
+    SSTORE             // storage[1] = new address
+    STOP
+""")
+    inputs = make_inputs(code, txn_value=5)
+    sim, pv = simulate_transfer(inputs, trace=False)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    new_addr = keccak256(rlp.encode([CONTRACT, 1]))[12:]
+    want = _create_expected_state(
+        inputs, {7: 42, 1: int.from_bytes(new_addr, "big")},
+        a_nonce=2, a_balance=1000 + 5 - 1,
+        created=(new_addr, 1, 1, mpt.EMPTY_CODE_HASH))
+    assert pv.trie_roots_after.state == want
+
+
+def test_create_deploy_code_then_call():
+    """The init code RETURNs 33 zero bytes (a STOP contract): the
+    deployed account carries keccak of that code, and a follow-up CALL
+    to it (loading the code via the prover stream, verified against the
+    deployed hash) succeeds with a value transfer."""
+    # init: RETURN(0, 33) — three instructions
+    code = contract_asm("""
+global a_main:
+    // init code at BYTES[0..99): PUSH 33; PUSH 0; RETURN
+    PUSH 0x60
+    PUSH 0
+    MSTORE8
+    PUSH 33
+    PUSH 32
+    MSTORE8            // imm of "PUSH 33" (BE low byte at offset 32)
+    PUSH 0x60
+    PUSH 33
+    MSTORE8
+    PUSH 0xf3
+    PUSH 66
+    MSTORE8            // RETURN opcode
+    PUSH 99            // size
+    PUSH 0             // offset
+    PUSH 0             // value
+    CREATE             // -> addr
+    DUP1
+    PUSH 1
+    SSTORE             // storage[1] = addr
+    // CALL addr with value 3
+    PUSH 0             // retSize
+    PUSH 0             // retOff
+    PUSH 0             // argsSize
+    PUSH 0             // argsOff
+    PUSH 3             // value
+    DUP6               // addr
+    PUSH 0             // gas
+    CALL
+    PUSH 2
+    SSTORE             // storage[2] = call status (1)
+    STOP
+""")
+    deployed = [(0x00, 0)]  # 33 zero bytes decode to one STOP
+    inputs = make_inputs(code, txn_value=5)
+    inputs.contract_code[code_hash(deployed)] = deployed
+    inputs.inner_code_loads = [code_hash(deployed)]
+    sim, pv = simulate_transfer(inputs, trace=False)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    new_addr = keccak256(rlp.encode([CONTRACT, 1]))[12:]
+    want = _create_expected_state(
+        inputs, {7: 42, 1: int.from_bytes(new_addr, "big"), 2: 1},
+        a_nonce=2, a_balance=1000 + 5 - 3,
+        created=(new_addr, 1, 3, code_hash(deployed)))
+    assert pv.trie_roots_after.state == want
+
+
+def test_create_init_revert_keeps_nonce_only():
+    """A reverting init frame: CREATE pushes 0, the account creation and
+    endowment unwind, but the creator's nonce bump persists (EVM)."""
+    code = contract_asm("""
+global a_main:
+    // init code: PUSH 0; PUSH 0; REVERT  (3 instructions, 99 bytes)
+    PUSH 0x60
+    PUSH 0
+    MSTORE8
+    PUSH 0x60
+    PUSH 33
+    MSTORE8
+    PUSH 0xfd
+    PUSH 66
+    MSTORE8            // REVERT opcode
+    PUSH 99
+    PUSH 0
+    PUSH 1             // value (must be refunded by the revert)
+    CREATE
+    PUSH 1
+    ADD
+    PUSH 1
+    SSTORE             // storage[1] = result + 1 = 1
+    STOP
+""")
+    inputs = make_inputs(code, txn_value=5)
+    sim, pv = simulate_transfer(inputs, trace=False)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    want = _create_expected_state(
+        inputs, {7: 42, 1: 1}, a_nonce=2, a_balance=1000 + 5)
+    assert pv.trie_roots_after.state == want
+
+
+def test_create2_salted_address():
+    """CREATE2: the address is keccak(0xff ++ creator ++ salt ++
+    keccak(init))[12:], independent of the creator nonce."""
+    code = contract_asm("""
+global a_main:
+    PUSH 0x5157        // salt
+    PUSH 33            // size
+    PUSH 0             // offset
+    PUSH 0             // value
+    CREATE2
+    PUSH 1
+    SSTORE             // storage[1] = new address
+    STOP
+""")
+    inputs = make_inputs(code, txn_value=0)
+    sim, pv = simulate_transfer(inputs, trace=False)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    init_hash = keccak256(b"\x00" * 33)
+    pre = b"\xff" + CONTRACT + (0x5157).to_bytes(32, "big") + init_hash
+    new_addr = keccak256(pre)[12:]
+    want = _create_expected_state(
+        inputs, {7: 42, 1: int.from_bytes(new_addr, "big")},
+        a_nonce=2, a_balance=1000,
+        created=(new_addr, 1, 0, mpt.EMPTY_CODE_HASH))
+    assert pv.trie_roots_after.state == want
