@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -65,6 +66,22 @@ def _use_mxu_lde(n: int, rate_bits: int) -> bool:
     return impl in ("mxu", "auto")
 
 
+@lru_cache(maxsize=None)
+def _comp_quotient_fn(k: int, n: int):
+    """One opening batch's alpha-composition + quotient as ONE jitted
+    program (alpha and the opening point are traced, so fresh
+    Fiat-Shamir values never retrace)."""
+    import jax
+
+    def run(polys: GF, alpha: GF2, z: GF2, subgroup: GF) -> GF2:
+        apow = powers_ext(alpha, k)
+        comp = GF2((polys * apow.a.reshape(-1, 1)).sum(axis=0),
+                   (polys * apow.b.reshape(-1, 1)).sum(axis=0))
+        return batch_opening_quotient(comp, z, n, subgroup)
+
+    return run if jax.default_backend() == "cpu" else jax.jit(run)
+
+
 def batch_opening_quotient(comp: GF2, point: np.ndarray, n: int,
                            subgroup: GF) -> GF2:
     """Coefficients of (F(X) - F(z)) / (X - z) for one opening batch.
@@ -73,7 +90,8 @@ def batch_opening_quotient(comp: GF2, point: np.ndarray, n: int,
     points may lie in H (the CTL batches open Z columns at g^{n-1};
     evm/src/stark.rs:83).  Shared by the single-chip prove_openings and
     the distributed prover (parallel/stark_prover.py)."""
-    z = GF2.from_u64_pair(point[0], point[1])
+    z = point if isinstance(point, GF2) else \
+        GF2.from_u64_pair(point[0], point[1])
     comp_vals = ntt.coset_ntt_ext(comp, COSET_SHIFT)
     fz = eval_ext_polys_at_ext(comp, powers_ext(z, n))
     num = comp_vals - fz.broadcast_to((n,))
@@ -216,15 +234,14 @@ class PolynomialBatch:
         with timing.scope("alpha composition + opening quotients"):
             for batch in instance.batches:
                 k = len(batch.polynomials)
-                apow = powers_ext(alpha, k)
                 # composition poly coeffs: (n,) extension
                 polys = GF.stack(
                     [oracles[p.oracle_index].polynomials[p.polynomial_index]
                      for p in batch.polynomials], axis=0)  # (k, n)
-                comp = GF2((polys * apow.a.reshape(-1, 1)).sum(axis=0),
-                           (polys * apow.b.reshape(-1, 1)).sum(axis=0))
-                quotient = batch_opening_quotient(comp, batch.point, n,
-                                                  subgroup)
+                quotient = _comp_quotient_fn(k, n)(
+                    polys, alpha,
+                    GF2.from_u64_pair(batch.point[0], batch.point[1]),
+                    subgroup)
                 if final_poly is None:
                     final_poly = quotient
                 else:

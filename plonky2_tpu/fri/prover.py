@@ -10,6 +10,9 @@ Merkle path extraction.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import jax
 import numpy as np
 
 from ..field import gl64, ntt
@@ -37,6 +40,36 @@ def _flatten_ext_leaves(values: GF2, arity: int) -> GF:
     return GF(lo, hi)
 
 
+@lru_cache(maxsize=None)
+def _leaves_fn(n: int, arity: int):
+    """Bit-reversed leaf matrix of one commit round as ONE jitted
+    program (take + flatten would otherwise dispatch eagerly — costly
+    over a tunneled device)."""
+    perm = reverse_index_bits_perm(n)
+
+    def leaves(values: GF2) -> GF:
+        return _flatten_ext_leaves(values.take(perm, axis=0), arity)
+
+    return leaves if jax.default_backend() == "cpu" else jax.jit(leaves)
+
+
+@lru_cache(maxsize=None)
+def _fold_fn(n: int, arity: int, shift: int):
+    """One beta-fold + coset re-evaluation (fri/prover.rs:100-113) as
+    ONE jitted program; beta is a traced input so fresh challenges
+    never retrace."""
+
+    def fold(coeffs: GF2, beta: GF2):
+        # P(x) = sum_{i<r} x^i P_i(x^r)  =>  folded = sum_i beta^i P_i
+        bpow = powers_ext(beta, arity)
+        ca = coeffs.a.reshape(-1, arity)
+        cb = coeffs.b.reshape(-1, arity)
+        folded = (GF2(ca, cb) * bpow).sum(axis=-1)
+        return folded, ntt.coset_ntt_ext(folded, shift)
+
+    return fold if jax.default_backend() == "cpu" else jax.jit(fold)
+
+
 def fri_committed_trees(coeffs: GF2, values: GF2, challenger: Challenger,
                         fri_params: FriParams, hasher: str = "poseidon"):
     """Commit phase (reference fri/prover.rs:69-113)."""
@@ -49,23 +82,15 @@ def fri_committed_trees(coeffs: GF2, values: GF2, challenger: Challenger,
     n = values.shape[0]
     for arity_bits in fri_params.reduction_arity_bits:
         arity = 1 << arity_bits
-        perm = reverse_index_bits_perm(n)
-        vals_br = values.take(perm, axis=0)
-        leaves = _flatten_ext_leaves(vals_br, arity)
+        leaves = _leaves_fn(n, arity)(values)
         tree = _Tree(leaves, fri_params.config.cap_height)
         challenger.observe_cap(tree.cap)
         trees.append(tree)
 
         beta_np = challenger.get_extension_challenge()
         beta = GF2.from_u64_pair(beta_np[0], beta_np[1])
-        # P(x) = sum_{i<r} x^i P_i(x^r)  =>  folded = sum_i beta^i P_i
-        bpow = powers_ext(beta, arity)
-        ca = coeffs.a.reshape(-1, arity)
-        cb = coeffs.b.reshape(-1, arity)
-        chunk = GF2(ca, cb)
-        coeffs = (chunk * bpow).sum(axis=-1)
         shift = pow(shift, arity, gl64.ORDER_INT)
-        values = ntt.coset_ntt_ext(coeffs, shift)
+        coeffs, values = _fold_fn(n, arity, shift)(coeffs, beta)
         n = values.shape[0]
 
     keep = n >> fri_params.config.rate_bits

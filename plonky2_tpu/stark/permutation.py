@@ -91,6 +91,9 @@ def compute_permutation_z_polys(stark, config, trace_np: np.ndarray,
     return out
 
 
+_Z_JIT_CACHE: dict = {}
+
+
 def compute_permutation_z_polys_gf(stark, config, trace: "GF",
                                    challenge_sets: list) -> "GF":
     """Device twin of compute_permutation_z_polys: trace stays a device GF
@@ -98,31 +101,59 @@ def compute_permutation_z_polys_gf(stark, config, trace: "GF",
     ~42 s at 2^20 rows; the device reduction + log-depth prefix product is
     milliseconds).  Values (and hence the committed bytes) are identical:
     every operation is exact field arithmetic, and the Hillis-Steele
-    re-bracketing of the grand product cannot change a product mod p."""
-    from ..field.goldilocks import GF, batch_inv
-    from ..plonk.prover import _exclusive_prefix_product
+    re-bracketing of the grand product cannot change a product mod p.
 
-    batches = get_permutation_batches(
-        stark.permutation_pairs(), challenge_sets, config.num_challenges,
-        stark.permutation_batch_size())
-    zs = []
-    for batch in batches:
-        numer = None
-        denom = None
-        for pair, (beta, gamma) in batch:
-            beta_i = int(beta)
-            rl = GF.full((), int(gamma))
-            rr = rl
-            w = 1
-            for (l, r) in pair.column_pairs:
-                rl = rl + trace[l] * GF.full((), w)
-                rr = rr + trace[r] * GF.full((), w)
-                w = (w * beta_i) % P
-            numer = rl if numer is None else numer * rl
-            denom = rr if denom is None else denom * rr
-        quotients = numer * batch_inv(denom)
-        zs.append(_exclusive_prefix_product(quotients))
-    return GF.stack(zs, axis=0)
+    The whole scan compiles to ONE jitted program per (stark, shape),
+    with the Fiat-Shamir challenges as TRACED scalar inputs — over a
+    tunneled device an eager version pays a compile + round-trip per op
+    AND retraces per proof (fresh challenge constants)."""
+    import jax
+
+    from ..field.goldilocks import GF
+
+    ch_np = np.array([[(int(b), int(g)) for (b, g) in cs]
+                      for cs in challenge_sets], np.uint64)
+    num_sets, num_ch = ch_np.shape[0], ch_np.shape[1]
+    key = (id(stark), num_sets, num_ch, config.num_challenges,
+           stark.permutation_batch_size(), trace.shape)
+    fn = _Z_JIT_CACHE.get(key)
+    if fn is None:
+        idx_sets = [[(si, ci) for ci in range(num_ch)]
+                    for si in range(num_sets)]
+        batches = get_permutation_batches(
+            stark.permutation_pairs(), idx_sets, config.num_challenges,
+            stark.permutation_batch_size())
+
+        def run(tr: "GF", ch: "GF") -> "GF":
+            from ..field.goldilocks import GF, batch_inv
+            from ..plonk.prover import _exclusive_prefix_product
+            zs = []
+            for batch in batches:
+                numer = None
+                denom = None
+                for pair, (si, ci) in batch:
+                    beta = ch[si, ci, 0]
+                    gamma = ch[si, ci, 1]
+                    rl = gamma
+                    rr = gamma
+                    w = GF.ones(())
+                    for (l, r) in pair.column_pairs:
+                        rl = rl + tr[l] * w
+                        rr = rr + tr[r] * w
+                        w = w * beta
+                    numer = rl if numer is None else numer * rl
+                    denom = rr if denom is None else denom * rr
+                quotients = numer * batch_inv(denom)
+                zs.append(_exclusive_prefix_product(quotients))
+            return GF.stack(zs, axis=0)
+
+        # XLA:CPU chokes on the fused whole-scan program (CLAUDE.md
+        # pathological-compile note); eager is fine there — the jit
+        # exists for tunneled devices where per-op dispatch dominates
+        if jax.default_backend() != "cpu":
+            run = jax.jit(run)
+        _Z_JIT_CACHE[key] = fn = run
+    return fn(trace, GF.from_u64(ch_np))
 
 
 def eval_permutation_checks(ctx, stark, config, vars, local_zs, next_zs,

@@ -134,62 +134,98 @@ def prove(stark: Stark, config: StarkConfig, trace_poly_values: GF,
     return StarkProofWithPublicInputs(proof, np.asarray(public_inputs, np.uint64))
 
 
+_Q_JIT_CACHE: dict = {}
+
+
 def _compute_quotient_polys(stark: Stark, trace_commitment, public_inputs,
                             alphas, degree_bits: int, config,
                             perm_zs_commitment=None, challenge_sets=None) -> GF:
+    """Whole-coset quotient as ONE jitted program per (stark, shape):
+    alphas, public inputs, and permutation challenges enter as TRACED
+    arrays so fresh Fiat-Shamir values never retrace, and the hundreds
+    of constraint-evaluation ops never dispatch eagerly over a tunneled
+    device."""
+    import jax
+
     degree = 1 << degree_bits
     rate_bits = config.fri_config.rate_bits
     qdb = (stark.quotient_degree_factor() - 1).bit_length()
     assert qdb <= rate_bits
     step = 1 << (rate_bits - qdb)
     next_step = 1 << qdb
-    size = degree << qdb
 
     trace = trace_commitment.lde_values_natural()[:, ::step]  # (COLS, size)
-    import jax.numpy as jnp
-    trace_next = GF(jnp.roll(trace.lo, -next_step, axis=-1),
-                    jnp.roll(trace.hi, -next_step, axis=-1))
-    if perm_zs_commitment is not None:
-        perm = perm_zs_commitment.lde_values_natural()[:, ::step]
-        perm_next = GF(jnp.roll(perm.lo, -next_step, axis=-1),
-                       jnp.roll(perm.hi, -next_step, axis=-1))
+    perm = (perm_zs_commitment.lde_values_natural()[:, ::step]
+            if perm_zs_commitment is not None else None)
 
-    big = gl64.two_adic_subgroup(degree_bits + qdb)
-    xs = GF.from_u64(gl64.mul(big, np.uint64(COSET_SHIFT)))
-    last = pow(gl64.primitive_root_of_unity(degree_bits), P - 2, P)
-    z_last = xs - GF.full((), last)
+    alphas_np = np.asarray([int(a) for a in alphas], np.uint64)
+    pis_np = np.asarray([int(pi) for pi in public_inputs], np.uint64)
+    with_perm = perm is not None
+    ch_np = None
+    if challenge_sets is not None:
+        ch_np = np.array([[(int(b), int(g)) for (b, g) in cs]
+                          for cs in challenge_sets], np.uint64)
 
-    # Lagrange first/last on the coset: L_0 = Z_H/(n(x-1)), L_{n-1} = Z_H/(n(x-g^{n-1}))
-    from ..plonk.prover import _z_h_on_coset
-    zh = _z_h_on_coset(degree_bits, qdb)
-    zh_tiled = GF.from_u64(np.tile(zh, degree))
-    n_c = GF.full((), degree)
-    lag_first = zh_tiled * batch_inv((xs - GF.ones(())) * n_c)
-    lag_last = zh_tiled * batch_inv((xs - GF.full((), last)) * n_c)
+    key = (id(stark), degree_bits, config.num_challenges, with_perm,
+           None if ch_np is None else ch_np.shape, trace.shape)
+    fn = _Q_JIT_CACHE.get(key)
+    if fn is None:
+        def run(trace, perm, al, pis, ch):
+            import jax.numpy as jnp
+            trace_next = GF(jnp.roll(trace.lo, -next_step, axis=-1),
+                            jnp.roll(trace.hi, -next_step, axis=-1))
+            big = gl64.two_adic_subgroup(degree_bits + qdb)
+            xs = GF.from_u64(gl64.mul(big, np.uint64(COSET_SHIFT)))
+            last = pow(gl64.primitive_root_of_unity(degree_bits), P - 2, P)
+            z_last = xs - GF.full((), last)
 
-    ctx = BaseBatchCtx()
-    vars = StarkEvaluationVars(
-        local_values=[trace[i] for i in range(stark.COLUMNS)],
-        next_values=[trace_next[i] for i in range(stark.COLUMNS)],
-        public_inputs=[GF.full((), int(pi)) for pi in public_inputs],
-    )
-    consumer = ConstraintConsumer(ctx, alphas, z_last, lag_first, lag_last)
-    stark.eval_generic(ctx, vars, consumer)
-    if perm_zs_commitment is not None:
-        from .permutation import eval_permutation_checks
-        eval_permutation_checks(
-            ctx, stark, config, vars,
-            [perm[i] for i in range(perm.shape[0])],
-            [perm_next[i] for i in range(perm_next.shape[0])],
-            challenge_sets, consumer)
+            # L_0 = Z_H/(n(x-1)), L_{n-1} = Z_H/(n(x-g^{n-1}))
+            from ..plonk.prover import _z_h_on_coset
+            zh = _z_h_on_coset(degree_bits, qdb)
+            zh_tiled = GF.from_u64(np.tile(zh, degree))
+            n_c = GF.full((), degree)
+            lag_first = zh_tiled * batch_inv((xs - GF.ones(())) * n_c)
+            lag_last = zh_tiled * batch_inv((xs - GF.full((), last)) * n_c)
 
-    zh_inv_tiled = GF.from_u64(np.tile(gl64.batch_inv(zh), degree))
-    quotient_values = GF.stack(
-        [acc * zh_inv_tiled for acc in consumer.accumulators()], axis=0)
-    quotient_coeffs = ntt.coset_intt(quotient_values, COSET_SHIFT)
-    # trim to qdf*degree (the chunks beyond are zero) and split into
-    # degree-sized chunks per challenge
-    qdf = stark.quotient_degree_factor()
-    chunks = quotient_coeffs.reshape(config.num_challenges, 1 << qdb, degree)
-    chunks = chunks[:, :qdf, :]
-    return chunks.reshape(config.num_challenges * qdf, degree)
+            ctx = BaseBatchCtx()
+            vars = StarkEvaluationVars(
+                local_values=[trace[i] for i in range(stark.COLUMNS)],
+                next_values=[trace_next[i] for i in range(stark.COLUMNS)],
+                public_inputs=[pis[i] for i in range(len(pis_np))],
+            )
+            consumer = ConstraintConsumer(
+                ctx, [al[i] for i in range(len(alphas_np))], z_last,
+                lag_first, lag_last)
+            stark.eval_generic(ctx, vars, consumer)
+            if with_perm:
+                perm_next = GF(jnp.roll(perm.lo, -next_step, axis=-1),
+                               jnp.roll(perm.hi, -next_step, axis=-1))
+                cs = [[(ch[si, ci, 0], ch[si, ci, 1])
+                       for ci in range(ch_np.shape[1])]
+                      for si in range(ch_np.shape[0])]
+                from .permutation import eval_permutation_checks
+                eval_permutation_checks(
+                    ctx, stark, config, vars,
+                    [perm[i] for i in range(perm.shape[0])],
+                    [perm_next[i] for i in range(perm_next.shape[0])],
+                    cs, consumer)
+
+            zh_inv_tiled = GF.from_u64(np.tile(gl64.batch_inv(zh), degree))
+            quotient_values = GF.stack(
+                [acc * zh_inv_tiled for acc in consumer.accumulators()],
+                axis=0)
+            quotient_coeffs = ntt.coset_intt(quotient_values, COSET_SHIFT)
+            # trim to qdf*degree (the chunks beyond are zero) per challenge
+            qdf = stark.quotient_degree_factor()
+            chunks = quotient_coeffs.reshape(
+                config.num_challenges, 1 << qdb, degree)
+            chunks = chunks[:, :qdf, :]
+            return chunks.reshape(config.num_challenges * qdf, degree)
+
+        # jit only off-CPU (XLA:CPU pathological-compile guard)
+        _Q_JIT_CACHE[key] = fn = (
+            jax.jit(run) if jax.default_backend() != "cpu" else run)
+
+    return fn(trace, perm,
+              GF.from_u64(alphas_np), GF.from_u64(pis_np),
+              None if ch_np is None else GF.from_u64(ch_np))

@@ -312,3 +312,102 @@ def tate(p: CurvePoint, q: CurvePoint) -> Fp12:
     if p.is_identity() or q.is_identity():
         return FP12_ONE
     return final_exponent(miller_loop(p, q))
+
+
+# ------------------------------------------------------------------
+# G1 Jacobian helpers + the 0x06/0x07 precompile hint oracles
+# (kernel/asm/bn_curve.asm replays these exact formulas; the single
+# nondeterministic hint per call is the final Z inverse)
+
+def _jac_double(acc):
+    """dbl-2009-l with a = 0 (bn_curve.asm bn_double_acc)."""
+    X, Y, Z = acc
+    A = X * X % BN_P
+    B = Y * Y % BN_P
+    C = B * B % BN_P
+    t = ((X + B) * (X + B) - A - C) % BN_P
+    D = 2 * t % BN_P
+    E = 3 * A % BN_P
+    F = E * E % BN_P
+    X3 = (F - 2 * D) % BN_P
+    Y3 = (E * (D - X3) - 8 * C) % BN_P
+    Z3 = 2 * Y * Z % BN_P
+    return (X3, Y3, Z3)
+
+
+def _jac_add_affine(acc, x2, y2):
+    """madd-2007-bl (bn_curve.asm bn_add_acc)."""
+    X, Y, Z = acc
+    if Z == 0:
+        return (x2, y2, 1)
+    Z1Z1 = Z * Z % BN_P
+    U2 = x2 * Z1Z1 % BN_P
+    S2 = y2 * Z * Z1Z1 % BN_P
+    H = (U2 - X) % BN_P
+    rr = 2 * (S2 - Y) % BN_P
+    if H == 0:
+        if rr == 0:
+            return _jac_double(acc)
+        return (X, Y, 0)
+    I = 4 * H * H % BN_P
+    J = H * I % BN_P
+    V = X * I % BN_P
+    X3 = (rr * rr - J - 2 * V) % BN_P
+    Y3 = (rr * (V - X3) - 2 * Y * J) % BN_P
+    Z3 = 2 * Z * H % BN_P
+    return (X3, Y3, Z3)
+
+
+def _jac_affinize(acc):
+    X, Y, Z = acc
+    if Z == 0:
+        return (0, 0)
+    zi = pow(Z, BN_P - 2, BN_P)
+    return (X * zi * zi % BN_P, Y * zi * zi * zi % BN_P)
+
+
+def bn_add_result(p1, p2):
+    """Affine p1 + p2, each (x, y) with (0, 0) = infinity."""
+    acc = (0, 0, 0)
+    if p1 != (0, 0):
+        acc = (p1[0], p1[1], 1)
+    if p2 != (0, 0):
+        acc = _jac_add_affine(acc, p2[0], p2[1])
+    return _jac_affinize(acc)
+
+
+def bn_mul_result(p, s):
+    if p == (0, 0):
+        return (0, 0)
+    acc = (0, 0, 0)
+    for i in range(255, -1, -1):
+        acc = _jac_double(acc)
+        if (s >> i) & 1:
+            acc = _jac_add_affine(acc, p[0], p[1])
+    return _jac_affinize(acc)
+
+
+def _z_of(acc):
+    return [] if acc[2] == 0 else [pow(acc[2], BN_P - 2, BN_P)]
+
+
+def bn_add_kernel_hints(p1, p2):
+    """PROVER_INPUT words bn_curve.asm pc_bn_add consumes."""
+    acc = (0, 0, 0)
+    if p1 != (0, 0):
+        acc = (p1[0], p1[1], 1)
+    if p2 != (0, 0):
+        acc = _jac_add_affine(acc, p2[0], p2[1])
+    return _z_of(acc)
+
+
+def bn_mul_kernel_hints(p, s):
+    """PROVER_INPUT words bn_curve.asm pc_bn_mul consumes."""
+    if p == (0, 0):
+        return []
+    acc = (0, 0, 0)
+    for i in range(255, -1, -1):
+        acc = _jac_double(acc)
+        if (s >> i) & 1:
+            acc = _jac_add_affine(acc, p[0], p[1])
+    return _z_of(acc)

@@ -100,6 +100,8 @@ META_GAS_START = 10  # parent gas_used at entry (for sub-context metering)
 META_STATIC = 11     # STATICCALL flag (reference CTX_METADATA_STATIC)
 META_ACCT_VPTR = 12  # executing account's state-trie value pointer
 META_CKPT = 13       # journal length at frame entry (revert target)
+META_MSIZE = 14      # frame memory size in 32-byte words (gas.asm)
+META_GASLIMIT = 15   # frame gas limit (63/64-forwarded, gas.asm)
 
 EXC_JUMPTABLE_BASE = 256    # exception handlers start here in SEG_JUMPTABLE
 

@@ -89,6 +89,10 @@ GLOBAL_CALL_DEPTH = 40       # message-call depth (EVM 1024 cap, sys_call)
 GLOBAL_FRAME_STATUS = 41     # last frame's exit status (contract_exit)
 GLOBAL_LOG_COUNT = 42        # surviving event logs (logs.asm sys_log)
 GLOBAL_LOG_ALLOC = 43        # (0, SEG_LOGS) bump allocator
+GLOBAL_LAST_FRAME_GAS = 44   # gas a finished frame charges its parent
+GLOBAL_INTRINSIC_GAS = 45    # 21000 + calldata gas (txn.asm, EIP-2028)
+GLOBAL_REFUND = 46           # SSTORE-clearing refund counter (EIP-3529)
+GLOBAL_CALL_GASCAP = 47      # 63/64-capped gas for the child being called
 GLOBAL_TXN_DATA_BASE = 64    # calldata words, 32 bytes each, big-endian
 GLOBAL_MIN_SP_BASE = 256
 
@@ -118,11 +122,15 @@ SYSCALL_ROUTES = {
     0xA3: "sys_log", 0xA4: "sys_log",
     # contract creation (create.asm)
     0xF0: "sys_create", 0xF5: "sys_create2",
+    # memory size (gas.asm)
+    0x59: "sys_msize",
+    # self-destruct (contract.asm, EIP-6780 reduced)
+    0xFF: "sys_selfdestruct",
 }
 # user opcodes that grow the stack via their syscall handler (GAS,
 # environment pushes); the simulator traps EXC_STACK_OVERFLOW for
 # these before syscall dispatch
-SYSCALL_STACK_INCREASING = {0x5A, 0x30, 0x33, 0x34, 0x36, 0x3D}
+SYSCALL_STACK_INCREASING = {0x5A, 0x30, 0x33, 0x34, 0x36, 0x3D, 0x59}
 EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
               "exc_stack_underflow", "exc_invalid_jump",
               "exc_invalid_jumpi", "exc_stack_overflow", "panic", "panic")
@@ -130,8 +138,9 @@ EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
 ASM_DIR = Path(__file__).parent / "asm"
 CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "signed.asm",
               "memory.asm", "rlp.asm", "mpt.asm", "mpt_ops.asm",
-              "curve.asm", "contract.asm", "precompiles.asm", "logs.asm",
-              "create.asm", "txn.asm")
+              "curve.asm", "bn_curve.asm", "contract.asm",
+              "precompiles.asm", "logs.asm", "create.asm", "gas.asm",
+              "txn.asm")
 
 
 def user_opcode_is_valid(opcode: int) -> bool:
@@ -250,10 +259,16 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "CTX_PARENT_CTX": cpu.META_PARENT_CTX,
         "CTX_PARENT_PC": cpu.META_PARENT_PC,
         "CTX_CKPT": cpu.META_CKPT,
+        "CTX_MSIZE": cpu.META_MSIZE,
+        "CTX_GASLIMIT": cpu.META_GASLIMIT,
         "J_BALANCE": 1, "J_STORAGE": 2, "J_SABSENT": 3, "J_CREATE": 4,
-        "J_LOG": 5, "J_NONCE": 6, "J_CODEHASH": 7,
+        "J_LOG": 5, "J_NONCE": 6, "J_CODEHASH": 7, "J_REFUND": 8,
         "GLOBAL_LOG_COUNT": GLOBAL_LOG_COUNT,
         "GLOBAL_LOG_ALLOC": GLOBAL_LOG_ALLOC,
+        "GLOBAL_LAST_FRAME_GAS": GLOBAL_LAST_FRAME_GAS,
+        "GLOBAL_INTRINSIC_GAS": GLOBAL_INTRINSIC_GAS,
+        "GLOBAL_REFUND": GLOBAL_REFUND,
+        "GLOBAL_CALL_GASCAP": GLOBAL_CALL_GASCAP,
         "GLOBAL_NEXT_CTX": GLOBAL_NEXT_CTX,
         "GLOBAL_TXN_FAILED": GLOBAL_TXN_FAILED,
         "GLOBAL_GAS_USED": GLOBAL_GAS_USED,
@@ -301,6 +316,8 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "GLOBAL_BLOCK_BASE_FEE": GLOBAL_BLOCK_BASE_FEE,
         "MPT_EMPTY": 0, "MPT_HASH": 1, "MPT_BRANCH": 2,
         "MPT_EXTENSION": 3, "MPT_LEAF": 4,
+        # BN254 base-field modulus (arithmetic.py BN_BASE)
+        "BN_P": 21888242871839275222246405745257275088696311157297823662689037894645226208583,
         # keccak("") as a big-endian word (mpt.py EMPTY_CODE_HASH)
         "EMPTY_CODE_HASH": int.from_bytes(bytes.fromhex(
             "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"

@@ -132,9 +132,13 @@ rj_loop:
     PUSH @J_NONCE
     EQ
     %jumpi(rj_nonce)
+    DUP1
     PUSH @J_CODEHASH
     EQ
     %jumpi(rj_codehash)
+    PUSH @J_REFUND
+    EQ
+    %jumpi(rj_refund)
     %jump(panic)
 rj_balance:
     // stack: type, base, retdest — entry [_, vptr, old_bal, _]
@@ -244,7 +248,8 @@ rj_nonce:
     %jump(rj_loop)
 
 rj_codehash:
-    // stack: base, retdest — entry [_, vptr, old_hash, _]
+    // stack: type, base, retdest — entry [_, vptr, old_hash, _]
+    POP
     DUP1
     PUSH 1
     ADD
@@ -259,6 +264,15 @@ rj_codehash:
     MLOAD_GENERAL                // [old_hash, vptr+3, retdest]
     SWAP1
     %trie_write                  // TRIE[vptr+3] = old_hash
+    %jump(rj_loop)
+
+rj_refund:
+    // stack: base, retdest — entry [_, old_refund, 0, _]
+    PUSH 1
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [old_refund, retdest]
+    %mstore_global(@GLOBAL_REFUND)
     %jump(rj_loop)
 
 rj_done:
@@ -550,6 +564,18 @@ ec_cd_done:
     %seg_of(@SEGMENT_CTX_META)   // [cmsw, child]
     %stack (cmsw) -> (cmsw, @CTX_PARENT_PC, ec_ret, cmsw)
     MSTORE_GENERAL
+    // top frame gas limit = block limit - intrinsic gas (no per-txn
+    // gas_limit field in the reduced txn format — module note)
+    %mload_global(@GLOBAL_GASLIMIT)
+    %mload_global(@GLOBAL_INTRINSIC_GAS)
+    DUP1
+    DUP3
+    LT                           // [limit < intr, intr, limit, cmsw, child]
+    %jumpi(panic)
+    SWAP1
+    SUB                          // [limit - intr, cmsw, child]
+    %stack (gl, cmsw) -> (cmsw, @CTX_GASLIMIT, gl, cmsw)
+    MSTORE_GENERAL
     %mload_global(@GLOBAL_JOURNAL_CKPT)
     %stack (ck, cmsw) -> (cmsw, @CTX_CKPT, ck)
     MSTORE_GENERAL
@@ -564,6 +590,10 @@ ec_ret:
     // parent's SP (and with it [retdest]) was hardware-restored.
     // A failed TOP frame fails the transaction (inner-frame failures
     // only surface as CALL returning 0).
+    %mload_global(@GLOBAL_LAST_FRAME_GAS)
+    %mload_global(@GLOBAL_GAS_USED)
+    ADD
+    %mstore_global(@GLOBAL_GAS_USED)
     %mload_global(@GLOBAL_FRAME_STATUS)
     %jumpi(ec_ret_ok)
     PUSH 1
@@ -585,9 +615,24 @@ global contract_exit:
     SWAP1                        // [trap, status]
     PUSH 192
     SHR                          // [frame_gas, status]
-    %mload_global(@GLOBAL_GAS_USED)
-    ADD
-    %mstore_global(@GLOBAL_GAS_USED)
+    // per-frame gas limit (gas.asm design): overrunning the limit is an
+    // exceptional halt — the frame FAILS and consumes its whole limit,
+    // however it tried to exit (EVM out-of-gas semantics, checked at
+    // frame exit; an execution that never halts stays unprovable)
+    %push_ctx_meta(@CTX_GASLIMIT)
+    DUP2
+    GT                           // [frame_gas > limit, frame_gas, status]
+    ISZERO
+    %jumpi(ce_in_gas)
+    POP
+    POP                          // drop gas + claimed status
+    %push_ctx_meta(@CTX_GASLIMIT)
+    PUSH 0
+    SWAP1                        // [limit, 0]
+ce_in_gas:
+    // stack: frame_gas, status — the parent absorbs this charge
+    // (sc_ret / cc_ret add it to their trap; ec_ret to GAS_USED)
+    %mstore_global(@GLOBAL_LAST_FRAME_GAS)
     // stack: status
     DUP1
     %mstore_global(@GLOBAL_FRAME_STATUS)
@@ -611,6 +656,9 @@ global contract_fault:
     %mstore_global(@GLOBAL_FRAME_STATUS)
     PUSH 0
     %mstore_global(@GLOBAL_RETURNDATA_LEN)
+    // an exceptional halt consumes the frame's whole gas limit (EVM)
+    %push_ctx_meta(@CTX_GASLIMIT)
+    %mstore_global(@GLOBAL_LAST_FRAME_GAS)
     %push_ctx_meta(@CTX_CKPT)
     %mstore_global(@GLOBAL_JOURNAL_CKPT)
     PUSH cf_1
@@ -662,6 +710,10 @@ crd_done:
 
 global sys_return:
     // stack (top first): trap, offset, len
+    DUP3
+    DUP3
+    ADD                          // [end, trap, offset, len]
+    %charge_memory
     %stack (trap, offset, len) -> (offset, len, sys_ret_1, trap)
     %jump(copy_returndata)
 sys_ret_1:
@@ -671,6 +723,10 @@ sys_ret_1:
 
 global sys_revert:
     // stack: trap, offset, len
+    DUP3
+    DUP3
+    ADD
+    %charge_memory
     %stack (trap, offset, len) -> (offset, len, sys_rev_1, trap)
     %jump(copy_returndata)
 sys_rev_1:
@@ -689,11 +745,16 @@ ssl_1:
     EXIT_KERNEL
 
 global sys_sstore:
-    // stack: trap, slot, value
+    // stack (top first): trap, slot, value — EVM dynamics (reduced to
+    // current-value, no original-value tracking; gas.asm note):
+    //   same value            -> no-op, 100
+    //   fresh slot, v != 0    -> @J_SABSENT journal, write, 20000
+    //   fresh slot, v == 0    -> pure no-op, 100
+    //   live slot,  v != 0    -> @J_STORAGE journal, write, 2900
+    //   live slot,  v == 0    -> @J_STORAGE journal, DELETE the key
+    //                            (EVM zero-store semantics), 2900,
+    //                            +4800 refund (EIP-3529, @J_REFUND)
     %push_ctx_meta(@CTX_ACCT_VPTR)
-    // journal the old value first (journal/storage_change.asm); an
-    // ABSENT slot journals @J_SABSENT so revert deletes the fresh key
-    // instead of writing an explicit 0 (round-5 mpt_delete)
     %stack (vptr, trap, slot) -> (vptr, slot, sss_0, vptr, trap, slot)
     %jump(storage_probe)
 sss_0:
@@ -702,19 +763,63 @@ sss_0:
     ISZERO
     %jumpi(sss_absent)
     %trie_read                   // [old, vptr, trap, slot, value]
+    DUP5
+    DUP2
+    EQ
+    %jumpi(sss_same)
     %stack (old, vptr, trap, slot, value) -> (@J_STORAGE, vptr, slot, old, sss_2, vptr, trap, slot, value)
-    %jump(journal_append)
-sss_absent:
-    // stack: sv(0), vptr, trap, slot, value
-    POP
-    %stack (vptr, trap, slot, value) -> (@J_SABSENT, vptr, slot, 0, sss_2, vptr, trap, slot, value)
     %jump(journal_append)
 sss_2:
     // stack: vptr, trap, slot, value
+    DUP4
+    ISZERO
+    %jumpi(sss_clear)
     %stack (vptr, trap, slot, value) -> (vptr, slot, value, sss_3, trap)
     %jump(storage_write)
 sss_3:
     // stack: trap
+    %charge_gas(2900)
+    EXIT_KERNEL
+sss_same:
+    // stack: old, vptr, trap, slot, value
+    %stack (old, vptr, trap, slot, value) -> (trap)
+    %charge_gas(100)
+    EXIT_KERNEL
+sss_clear:
+    // stack: vptr, trap, slot, value
+    %mload_global(@GLOBAL_REFUND)
+    DUP1
+    %stack (ra, rb) -> (@J_REFUND, ra, 0, 0, sss_c1, rb)
+    %jump(journal_append)
+sss_c1:
+    // stack: old_refund, vptr, trap, slot, value
+    PUSH 4800
+    ADD
+    %mstore_global(@GLOBAL_REFUND)
+    %stack (vptr, trap, slot, value) -> (vptr, slot, sss_c2, trap)
+    %jump(storage_delete)
+sss_c2:
+    // stack: trap
+    %charge_gas(2900)
+    EXIT_KERNEL
+sss_absent:
+    // stack: sv(0), vptr, trap, slot, value
+    POP
+    DUP4
+    ISZERO
+    %jumpi(sss_az)
+    %stack (vptr, trap, slot, value) -> (@J_SABSENT, vptr, slot, 0, sss_a2, vptr, trap, slot, value)
+    %jump(journal_append)
+sss_a2:
+    %stack (vptr, trap, slot, value) -> (vptr, slot, value, sss_a3, trap)
+    %jump(storage_write)
+sss_a3:
+    // stack: trap
+    %charge_gas(20000)
+    EXIT_KERNEL
+sss_az:
+    // storing 0 into an absent slot: a pure no-op
+    %stack (vptr, trap, slot, value) -> (trap)
     %charge_gas(100)
     EXIT_KERNEL
 
@@ -786,6 +891,63 @@ global sys_address:
 // journal (contract_exit) and the CALL pushes 0.
 global sys_call:
     // stack: trap, gas, addr, value, argsOff, argsSize, retOff, retSize
+    // memory windows [ao, ao+asz) and [ro, ro+rs) (charged upfront)
+    DUP6
+    DUP6
+    ADD                          // [ao+asz, trap, gas, addr, value, ao, asz, ro, rs]
+    %charge_memory
+    DUP8
+    DUP8
+    ADD                          // [ro+rs, trap, ...]
+    %charge_memory
+    // 63/64 rule: the child limit is min(gas operand, remaining -
+    // remaining/64), remaining = frame limit - gas used so far
+    // (core/call_gas.asm); +2300 stipend on value-bearing calls
+    %push_ctx_meta(@CTX_GASLIMIT)
+    DUP2
+    PUSH 192
+    SHR                          // [used, limit, trap, gas, ...]
+    DUP2
+    DUP2
+    GT                           // [used > limit, used, limit, trap, gas, ...]
+    %jumpi(sc_gas0)
+    SWAP1
+    SUB                          // [rem, trap, gas, ...]
+    DUP1
+    PUSH 64
+    SWAP1
+    DIV                          // [rem/64, rem, trap, gas, ...]
+    SWAP1
+    SUB                          // [cap = rem - rem/64, trap, gas, ...]
+    DUP3
+    DUP2
+    GT                           // [cap > gas, cap, trap, gas, ...]
+    ISZERO
+    %jumpi(sc_cap_done)
+    POP
+    DUP2                         // cap = gas operand
+    %jump(sc_cap_done)
+sc_gas0:
+    // stack: used, limit, trap, gas, ...
+    POP
+    POP
+    PUSH 0                       // [cap = 0, trap, gas, ...]
+sc_cap_done:
+    // stack: cap, trap, gas, addr, value, ao, asz, ro, rs
+    DUP5
+    ISZERO
+    %jumpi(sc_nostip)
+    PUSH 2300
+    ADD                          // value-bearing: callee stipend
+sc_nostip:
+    %mstore_global(@GLOBAL_CALL_GASCAP)
+    // stack: trap, gas, addr, value, ao, asz, ro, rs
+    // value-transfer surcharge (EVM G_callvalue = 9000)
+    DUP4
+    ISZERO
+    %jumpi(sc_noval)
+    %charge_gas(9000)
+sc_noval:
     SWAP1
     POP                          // [trap, addr, value, ao, asz, ro, rs]
     // depth cap (EVM 1024)
@@ -860,6 +1022,9 @@ sc_create:
     %jump(journal_append)
 sc_cr1:
     // stack: key, trap, addr, value, ao, asz, ro, rs
+    SWAP1
+    %charge_gas(25000)           // EVM G_newaccount
+    SWAP1
     DUP1
     DUP5
     SWAP1                        // [key, value, key, trap, ...]
@@ -933,6 +1098,9 @@ sc_code:
     MSTORE_GENERAL
     %stack (cmsw) -> (cmsw, @CTX_PARENT_PC, sc_ret, cmsw)
     MSTORE_GENERAL
+    %mload_global(@GLOBAL_CALL_GASCAP)
+    %stack (gl, cmsw) -> (cmsw, @CTX_GASLIMIT, gl, cmsw)
+    MSTORE_GENERAL
     // frame checkpoint = journal length BEFORE this CALL's own debit +
     // credit/create entries (always exactly 2), so a child revert also
     // undoes the value transfer
@@ -984,6 +1152,11 @@ sc_ret:
     SWAP1
     SUB
     %mstore_global(@GLOBAL_CALL_DEPTH)
+    // the child's gas charge lands in the parent's own counter
+    %mload_global(@GLOBAL_LAST_FRAME_GAS)
+    PUSH 192
+    SHL
+    ADD                          // [trap', ro, rs]
 global sc_ret_precompile:
     // n = min(rs, returndata_len)
     %mload_global(@GLOBAL_RETURNDATA_LEN)
@@ -1083,3 +1256,78 @@ src_rdc_done:
     %stack (i, bsw, trap, destOff, off, len) -> (trap)
     %charge_gas(3)
     EXIT_KERNEL
+
+// SELFDESTRUCT (0xff): EIP-6780 reduced — sweep the executing
+// account's balance to the beneficiary and halt the frame with
+// success; the account itself always survives (the reference deletes
+// same-transaction creations; documented reduction: never deleted).
+global sys_selfdestruct:
+    // stack (top first): trap, beneficiary
+    GET_CONTEXT
+    ISZERO
+    %jumpi(panic)                // only meaningful inside a frame
+    %push_ctx_meta(@CTX_ACCT_VPTR)
+    DUP1
+    %journal_balance
+    DUP1
+    PUSH 1
+    ADD
+    %trie_read                   // [bal, vptr, trap, beneficiary]
+    SWAP1
+    PUSH 1
+    ADD
+    PUSH 0
+    SWAP1
+    %trie_write                  // own balance = 0 ; [bal, trap, b]
+    DUP3
+    %stack (b) -> (b, sd_1)
+    %jump(addr_key)
+sd_1:
+    // stack: key, bal, trap, beneficiary
+    DUP1
+    %mload_global(@GLOBAL_STATE_TRIE_PTR)
+    %stack (state, key) -> (state, 64, key, sd_2)
+    %jump(mpt_read)
+sd_2:
+    // stack: bvptr, key, bal, trap, beneficiary
+    DUP1
+    ISZERO
+    %jumpi(sd_fresh)
+    DUP1
+    %journal_balance
+    DUP1
+    PUSH 1
+    ADD
+    %trie_read                   // [bbal, bvptr, key, bal, trap, b]
+    DUP4
+    ADD
+    SWAP1
+    PUSH 1
+    ADD
+    %trie_write                  // [key, bal, trap, beneficiary]
+    %jump(sd_done)
+sd_fresh:
+    // stack: bvptr(0), key, bal, trap, beneficiary — create only for a
+    // nonzero sweep (EIP-158)
+    POP
+    DUP2
+    ISZERO
+    %jumpi(sd_done)
+    DUP1
+    %stack (k) -> (@J_CREATE, k, 0, 0, sd_f1)
+    %jump(journal_append)
+sd_f1:
+    // stack: key, bal, trap, beneficiary
+    DUP1
+    DUP3
+    SWAP1                        // [key, bal, key, bal, trap, b]
+    %stack (k, v) -> (k, v, sd_done)
+    %jump(credit_account)
+sd_done:
+    // stack: key, bal, trap, beneficiary
+    %stack (key, bal, trap, beneficiary) -> (trap)
+    %charge_gas(5000)
+    PUSH 0
+    %mstore_global(@GLOBAL_RETURNDATA_LEN)
+    PUSH 1
+    %jump(contract_exit)

@@ -32,6 +32,10 @@
 
 global sys_create:
     // stack: trap, value, offset, size
+    DUP4
+    DUP4
+    ADD                          // [offset+size, trap, value, offset, size]
+    %charge_memory
     %push_ctx_meta(@CTX_ACCT_VPTR)
     %trie_read                   // [nonce, trap, value, offset, size]
     %push_ctx_meta(@CTX_ADDRESS) // [addr, nonce, trap, value, offset, size]
@@ -88,6 +92,10 @@ scr_4:
 
 global sys_create2:
     // stack: trap, value, offset, size, salt
+    DUP4
+    DUP4
+    ADD
+    %charge_memory
     GET_CONTEXT
     %seg_of(@SEGMENT_BYTES)      // [bsw, trap, value, offset, size, salt]
     %stack (bsw, trap, value, offset, size) -> (bsw, offset, size, trap, value, offset, size)
@@ -304,6 +312,32 @@ cc_4:
     MSTORE_GENERAL
     %stack (cmsw) -> (cmsw, @CTX_PARENT_PC, cc_ret, cmsw)
     MSTORE_GENERAL
+    // child limit = remaining - remaining/64 (EVM CREATE forwards
+    // all-but-one-64th automatically, core/create.asm)
+    %push_ctx_meta(@CTX_GASLIMIT)
+    DUP7
+    PUSH 192
+    SHR                          // [used, limit, cmsw, child, key, na, ck, trap, ...]
+    DUP2
+    DUP2
+    GT                           // [used > limit, used, limit, cmsw, ...]
+    %jumpi(ccg_zero)
+    SWAP1
+    SUB                          // [rem, cmsw, ...]
+    DUP1
+    PUSH 64
+    SWAP1
+    DIV
+    SWAP1
+    SUB                          // [fwd = rem - rem/64, cmsw, ...]
+    %jump(ccg_done)
+ccg_zero:
+    POP
+    POP
+    PUSH 0
+ccg_done:
+    %stack (gl, cmsw) -> (cmsw, @CTX_GASLIMIT, gl, cmsw)
+    MSTORE_GENERAL
     DUP5
     %stack (ck, cmsw) -> (cmsw, @CTX_CKPT, ck)
     MSTORE_GENERAL               // [child, key, na, ck, trap, value, offset, size]
@@ -319,6 +353,10 @@ cc_ret:
     SWAP1
     SUB
     %mstore_global(@GLOBAL_CALL_DEPTH)
+    %mload_global(@GLOBAL_LAST_FRAME_GAS)
+    PUSH 192
+    SHL
+    ADD                          // the init frame's charge -> parent trap
     %mload_global(@GLOBAL_FRAME_STATUS)
     ISZERO
     %jumpi(cc_init_failed)

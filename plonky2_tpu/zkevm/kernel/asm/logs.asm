@@ -26,6 +26,11 @@
 // sys_log: LOG0..LOG4 (0xa0+n).  stack: trap, offset, size, topic..
 // Gas (EVM exact): 375 + 375*n + 8*size.
 global sys_log:
+    // memory window [offset, offset+size)
+    DUP3
+    DUP3
+    ADD                          // [end, trap, offset, size, t..]
+    %charge_memory
     DUP1
     %opcode_from_syscall_trap       // [opcode, trap, offset, size, t..]
     PUSH 0xa0

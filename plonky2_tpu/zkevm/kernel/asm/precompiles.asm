@@ -37,6 +37,14 @@ global precompile_dispatch:
     PUSH 5
     EQ
     %jumpi(pc_expmod)
+    DUP1
+    PUSH 6
+    EQ
+    %jumpi(pc_bn_add)
+    DUP1
+    PUSH 7
+    EQ
+    %jumpi(pc_bn_mul)
     %jump(panic)
 
 // ---- 0x01 ecrecover: input [hash(32) v(32) r(32) s(32)] at BYTES[ao];

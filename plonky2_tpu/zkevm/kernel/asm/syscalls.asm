@@ -39,7 +39,14 @@ sys_stop_contract:
     %jump(contract_exit)
 
 global sys_mload:
-    // stack: addr, trap
+    // stack (top first): trap, addr — word addr a occupies bytes
+    // [32a, 32a+32): memory expands to 32*(a+1) bytes (gas.asm note)
+    DUP2
+    PUSH 1
+    ADD
+    PUSH 5
+    SHL                          // [end, trap, addr]
+    %charge_memory               // [trap, addr]
     SWAP1
     GET_CONTEXT
     %seg_of(@SEGMENT_MAIN)       // user memory is per-context
@@ -49,7 +56,13 @@ global sys_mload:
     EXIT_KERNEL
 
 global sys_mstore:
-    // stack: value, offset, trap
+    // stack (top first): trap, offset, value
+    DUP2
+    PUSH 1
+    ADD
+    PUSH 5
+    SHL                          // [end, trap, offset, value]
+    %charge_memory               // [trap, offset, value]
     SWAP2                        // [trap, offset, value]
     SWAP1                        // [trap, value, offset]
     GET_CONTEXT
@@ -59,7 +72,11 @@ global sys_mstore:
     EXIT_KERNEL
 
 global sys_mstore8:
-    // stack: value, offset, trap
+    // stack (top first): trap, offset, value
+    DUP2
+    PUSH 1
+    ADD                          // [end = offset+1, trap, offset, value]
+    %charge_memory
     SWAP2                        // [trap, offset, value]
     PUSH 0xff
     AND                          // [trap, offset, byte]
@@ -71,12 +88,27 @@ global sys_mstore8:
     EXIT_KERNEL
 
 global sys_keccak256:
-    // stack: len, offset, trap
-    SWAP2                        // [trap, offset, len]
-    SWAP1                        // [trap, len, offset]
+    // stack (top first): trap, offset, len
+    DUP3
+    DUP3
+    ADD                          // [end = offset+len, trap, offset, len]
+    %charge_memory               // [trap, offset, len]
+    // dynamic gas: 30 + 6 * ceil(len/32) (gas.rs keccak word cost)
+    DUP3
+    PUSH 31
+    ADD
+    PUSH 5
+    SHR
+    PUSH 6
+    MUL
+    PUSH 192
+    SHL
+    ADD                          // [trap', offset, len]
+    SWAP2
+    SWAP1
     GET_CONTEXT
     %seg_of(@SEGMENT_BYTES)
-    KECCAK_GENERAL               // [trap, digest]
+    KECCAK_GENERAL               // [digest, trap]
     SWAP1
     %charge_gas(30)
     EXIT_KERNEL

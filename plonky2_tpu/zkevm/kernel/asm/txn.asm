@@ -215,7 +215,7 @@ btv_6:
 // payload rlp([status, cum_gas, bloom, logs]) (reference receipt
 // encoding, mpt/hash + core/log.asm bloom) with
 //   status  = 1 - @GLOBAL_TXN_FAILED,
-//   cum_gas = 21000 + the executed frames' gas (@GLOBAL_GAS_USED),
+//   cum_gas = intrinsic + frames' gas - capped refund (gas.asm),
 //   bloom   = the 256-byte logs bloom (logs.asm build_log_bloom),
 //   logs    = the surviving logs list (logs.asm encode_logs_rlp).
 global build_receipt_value:
@@ -232,8 +232,23 @@ brv_1:
     ADD
     %trie_write
     %mload_global(@GLOBAL_GAS_USED)
-    PUSH 21000
-    ADD
+    %mload_global(@GLOBAL_INTRINSIC_GAS)
+    ADD                          // [total, scratch]
+    // EIP-3529: the SSTORE-clearing refund, capped at total/5
+    %mload_global(@GLOBAL_REFUND)
+    DUP2
+    PUSH 5
+    SWAP1
+    DIV                          // [total/5, refund, total, scratch]
+    DUP2
+    DUP2
+    GT                           // [total/5 > refund, total/5, refund, ..]
+    %jumpi(brv_uncapped)
+    SWAP1                        // refund exceeds the cap: use the cap
+brv_uncapped:
+    POP                          // [refund', total, scratch]
+    SWAP1
+    SUB                          // [gas = total - refund', scratch]
     %stack (g, scratch) -> (g, brv_2, scratch)
     %jump(rlp_scalar)
 brv_2:
@@ -273,6 +288,13 @@ brv_6:
 // nonce += 1), credit recipient + beneficiary, insert txn and receipt
 // into their tries at key rlp(0) = 0x80.
 global execute_transfer:
+    // intrinsic gas: 21000 + calldata bytes (gas.asm, EIP-2028); the
+    // fee charged upfront is gasprice * intrinsic — executed frames'
+    // gas reaches the RECEIPT but not the sender's balance (no per-txn
+    // gas_limit field in the reduced txn format; documented)
+    PUSH et_ig
+    %jump(compute_intrinsic_gas)
+et_ig:
     // sender authorization: recover from the signature and check the
     // claimed sender (curve.asm; skipped when SIG_R = 0 — unsigned mode)
     PUSH et_0
@@ -300,7 +322,7 @@ et_2:
     // upfront balance check: bal >= fee + value (process_txn.asm
     // buy_gas + validation order)
     %mload_global(@GLOBAL_TXN_GASPRICE)
-    PUSH 21000
+    %mload_global(@GLOBAL_INTRINSIC_GAS)
     MUL                          // [fee, svptr]
     %mload_global(@GLOBAL_TXN_VALUE)
     DUP2
@@ -388,7 +410,7 @@ et_4:
 et_5:
     // stack: bkey, tkey, retdest
     %mload_global(@GLOBAL_TXN_GASPRICE)
-    PUSH 21000
+    %mload_global(@GLOBAL_INTRINSIC_GAS)
     MUL
     %stack (fee, bkey) -> (bkey, fee, et_6)
     %jump(credit_account)

@@ -47,6 +47,7 @@ MNEMONICS.update({
     # contract creation (create.asm); user-mode 0xf5 is CREATE2 (the
     # kernel-only SET_CONTEXT native shares the byte)
     "CREATE": 0xF0, "CREATE2": 0xF5,
+    "MSIZE": 0x59, "SELFDESTRUCT": 0xFF,
 })
 for _i in range(16):
     MNEMONICS[f"DUP{_i + 1}"] = 0x80 + _i

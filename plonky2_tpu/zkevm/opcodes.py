@@ -194,4 +194,7 @@ SYSCALL_MIN_STACK = {
 
     0xF0: 3,   # CREATE(value, offset, size)
     0xF5: 4,   # CREATE2(value, offset, size, salt)
+
+    0x59: 0,   # MSIZE
+    0xFF: 1,   # SELFDESTRUCT(beneficiary)
 }

@@ -38,6 +38,12 @@ from .kernel.aggregator import (GLOBAL_BLOCK_BASE_FEE,
 
 TXN_GAS = 21_000
 
+
+def intrinsic_gas(data: bytes = b"") -> int:
+    """21000 + 4 per zero byte + 16 per nonzero calldata byte
+    (gas.asm compute_intrinsic_gas, EIP-2028)."""
+    return TXN_GAS + sum(4 if b == 0 else 16 for b in data)
+
 # the kernel main for transfer blocks (txn.asm txn_main)
 TXN_MAIN_SOURCE = "global main:\n    %jump(txn_main)\n"
 
@@ -82,12 +88,17 @@ class Transfer:
         from ..hash.keccak import keccak256
         return int.from_bytes(keccak256(self.rlp()), "big")
 
-    def receipt_rlp(self, status: int = 1, gas_used: int = TXN_GAS,
+    def intrinsic_gas(self) -> int:
+        return intrinsic_gas(self.data)
+
+    def receipt_rlp(self, status: int = 1, gas_used: int = None,
                     logs: list = ()) -> bytes:
         """The legacy receipt payload rlp([status, cum_gas, bloom,
         logs]) (txn.asm build_receipt_value; reference receipt
         encoding).  `logs` is a list of (address20, [topic_ints],
         data_bytes)."""
+        if gas_used is None:
+            gas_used = self.intrinsic_gas()
         return receipt_payload(status, gas_used, list(logs))
 
 
@@ -248,7 +259,7 @@ def apply_transfer(inputs: GenerationInputs) -> mpt.TrieInputs:
     sender = _get_account(state, txn.sender)
     assert sender is not None, "sender account missing"
     assert sender.nonce == txn.nonce, "nonce mismatch"
-    fee = txn.gas_price * TXN_GAS
+    fee = txn.gas_price * txn.intrinsic_gas()
     cost = txn.value + fee
     assert sender.balance >= cost, "insufficient balance"
     state = _set_account(state, txn.sender, mpt.Account(

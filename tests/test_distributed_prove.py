@@ -50,3 +50,44 @@ def test_distributed_prove_byte_identical_no_permutations():
     sharded = prove(stark, config, trace, pis, mesh=make_mesh(8))
     assert stark_proof_to_bytes(single) == stark_proof_to_bytes(sharded)
     verify_stark_proof(stark, sharded, config, degree_bits=6)
+
+
+from plonky2_tpu.stark.stark import Stark
+
+import pytest
+
+
+class _WideStark(Stark):
+    """101 columns (NOT a mesh multiple: exercises the pad-and-drop
+    paths), one transition constraint on column 0, the rest committed
+    but unconstrained — a layout/padding canary at a non-toy shape."""
+
+    COLUMNS = 101
+    PUBLIC_INPUTS = 0
+
+    def eval_generic(self, ctx, vars, yield_constr):
+        c0, c0n = vars.local_values[0], vars.next_values[0]
+        yield_constr.constraint_transition(c0n - c0 - ctx.one())
+
+    def constraint_degree(self):
+        return 2
+
+
+@pytest.mark.slow
+def test_distributed_prove_midsize_wide():
+    """VERDICT r4 weak #5: byte-identity at 2^12 rows x 101 columns on
+    the 8-device CPU mesh — large enough that per-device padding and
+    layout bugs the 2^6-row cases cannot expose would surface."""
+    from plonky2_tpu.field.goldilocks import GF
+    config = StarkConfig.standard_fast_config()
+    stark = _WideStark()
+    n = 1 << 12
+    rng = np.random.default_rng(3)
+    trace = rng.integers(0, 1 << 62, size=(101, n), dtype=np.uint64)
+    trace[0] = np.arange(n, dtype=np.uint64)
+    pis = np.zeros(0, np.uint64)
+    single = prove(stark, config, GF.from_u64(trace), pis)
+    sharded = prove(stark, config, GF.from_u64(trace), pis,
+                    mesh=make_mesh(8))
+    assert stark_proof_to_bytes(single) == stark_proof_to_bytes(sharded)
+    verify_stark_proof(stark, sharded, config, degree_bits=12)
