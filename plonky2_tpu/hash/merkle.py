@@ -43,6 +43,29 @@ class MerkleProof:
     siblings: np.ndarray  # (depth, 4) u64
 
 
+_OPEN_FN_CACHE: dict = {}
+
+
+def _open_all_fn(depth: int):
+    """Jitted whole-path gather: (leaves, levels[0..depth), idx) ->
+    (leaf rows, (depth, q, 4) sibling rows).  jax.jit's own dispatch
+    cache handles the per-shape specialization."""
+    import jax
+
+    fn = _OPEN_FN_CACHE.get(depth)
+    if fn is None:
+        def run(leaves: GF, levels: tuple, ii):
+            lv = leaves.take(ii, axis=0)
+            sibs = GF.stack([levels[d].take((ii >> d) ^ 1, axis=0)
+                             for d in range(depth)], axis=0)
+            return lv, sibs
+
+        if jax.default_backend() != "cpu":
+            run = jax.jit(run)
+        _OPEN_FN_CACHE[depth] = fn = run
+    return fn
+
+
 def _gather_rows_np(x: GF, idx: np.ndarray) -> np.ndarray:
     """Device row gather -> canonical host u64 rows (only the selected
     rows cross the host link — at the flagship 2^20 shapes pulling a
@@ -126,13 +149,18 @@ class MerkleTree:
             for lvl in range(depth):
                 sibs[:, lvl] = self.levels[lvl][(idx >> lvl) ^ 1]
             return leaves, sibs
-        leaves = _gather_rows_np(self._dev_leaves, idx)
+        # ONE fused device gather over every level + two fetches — a
+        # per-level gather costs a tunnel round-trip each (~100 ms x
+        # ~13 levels x ~8 trees dominated the 2^16 FRI query phase)
+        import jax.numpy as jnp
         depth = len(self._dev_levels) - 1
-        sibs = np.empty((idx.size, depth, 4), np.uint64)
-        for lvl in range(depth):
-            sibs[:, lvl] = _gather_rows_np(self._dev_levels[lvl],
-                                           (idx >> lvl) ^ 1)
-        return leaves, sibs
+        lv, sibs_gf = _open_all_fn(depth)(
+            self._dev_leaves, tuple(self._dev_levels[:depth]),
+            jnp.asarray(idx, jnp.int32))
+        leaves = np.asarray(lv.to_u64())
+        # (depth, q, 4) -> (q, depth, 4)
+        sibs = np.asarray(sibs_gf.to_u64()).transpose(1, 0, 2)
+        return leaves, np.ascontiguousarray(sibs)
 
     def prove(self, leaf_index: int) -> MerkleProof:
         """Sibling path from leaf to cap (reference merkle_tree.rs:173)."""

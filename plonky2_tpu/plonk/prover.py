@@ -142,48 +142,68 @@ def _in_subgroup(zeta: np.ndarray, degree_bits: int) -> bool:
     return bool(gl64ext.equal(z, gl64ext.ONE))
 
 
+_PP_JIT_CACHE: dict = {}
+
+
 def _all_partial_products_and_zs(wires_matrix: np.ndarray, betas, gammas,
                                  prover_data, common) -> GF:
     """Returns GF (num_challenges*(1+num_prods), n): [Z_c ...] ++ [partials_c ...]
-    (prover.rs:330-415)."""
+    (prover.rs:330-415).
+
+    The whole phase runs as ONE jitted program per circuit shape
+    (off-CPU), with the beta/gamma challenges as TRACED scalars — the
+    eager version paid a tunnel round-trip per column op AND retraced
+    per proof (fresh challenge constants)."""
+    import jax
+
     n = common.degree()
     num_routed = common.config.num_routed_wires
     deg = common.quotient_degree_factor
     num_prods = common.num_partial_products
+    nc = len(betas)
+
+    bg_np = np.stack([np.asarray([int(b) for b in betas], np.uint64),
+                      np.asarray([int(g) for g in gammas], np.uint64)],
+                     axis=1)  # (nc, 2)
+
+    key = (n, num_routed, deg, num_prods, nc)
+    fn = _PP_JIT_CACHE.get(key)
+    if fn is None:
+        def run(routed: GF, sigmas: GF, s_id: GF, bg: GF) -> GF:
+            zs = []
+            partials = []
+            for c in range(nc):
+                b = bg[c, 0]
+                g = bg[c, 1]
+                numer = routed + s_id * b + g
+                denom = routed + sigmas * b + g
+                quotients = numer * batch_inv(denom)  # (n, routed)
+                chunks = quotients.reshape(n, (num_prods + 1), deg)
+                cp = chunks[:, :, 0]
+                for j in range(1, deg):
+                    cp = cp * chunks[:, :, j]
+                row_total = cp[:, 0]
+                for j in range(1, num_prods + 1):
+                    row_total = row_total * cp[:, j]
+                z = _exclusive_prefix_product(row_total)  # (n,) Z(x_i)
+                run_p = z
+                pps = []
+                for kk in range(num_prods):
+                    run_p = run_p * cp[:, kk]
+                    pps.append(run_p)
+                zs.append(z)
+                partials.extend(pps)
+            return GF.stack(zs + partials, axis=0)
+
+        if jax.default_backend() != "cpu":
+            run = jax.jit(run)
+        _PP_JIT_CACHE[key] = fn = run
 
     routed = GF.from_u64(wires_matrix[:num_routed].T)  # (n, routed)
     sigmas = GF.from_u64(prover_data.sigmas)  # (n, routed)
     x = GF.from_u64(prover_data.subgroup).reshape(-1, 1)  # (n, 1)
     k = GF.from_u64(common.k_is).reshape(1, -1)  # (1, routed)
-    s_id = x * k
-
-    zs = []
-    partials = []
-    for beta, gamma in zip(betas, gammas):
-        b = GF.full((), int(beta))
-        g = GF.full((), int(gamma))
-        numer = routed + s_id * b + g
-        denom = routed + sigmas * b + g
-        quotients = numer * batch_inv(denom)  # (n, routed)
-        # chunk products of size deg -> (n, num_prods+1)
-        chunks = quotients.reshape(n, (num_prods + 1), deg)
-        cp = chunks[:, :, 0]
-        for j in range(1, deg):
-            cp = cp * chunks[:, :, j]
-        # row totals and exclusive prefix over rows -> Z values
-        row_total = cp[:, 0]
-        for j in range(1, num_prods + 1):
-            row_total = row_total * cp[:, j]
-        z = _exclusive_prefix_product(row_total)  # (n,) Z(x_i)
-        # partial products p_k(x_i) = Z(x_i) * prod(cp[:, :k+1])
-        run = z
-        pps = []
-        for kk in range(num_prods):
-            run = run * cp[:, kk]
-            pps.append(run)
-        zs.append(z)
-        partials.extend(pps)
-    return GF.stack(zs + partials, axis=0)
+    return fn(routed, sigmas, x * k, GF.from_u64(bg_np))
 
 
 def _compute_all_lookup_polys(wires_matrix: np.ndarray, deltas: np.ndarray,

@@ -93,6 +93,7 @@ GLOBAL_LAST_FRAME_GAS = 44   # gas a finished frame charges its parent
 GLOBAL_INTRINSIC_GAS = 45    # 21000 + calldata gas (txn.asm, EIP-2028)
 GLOBAL_REFUND = 46           # SSTORE-clearing refund counter (EIP-3529)
 GLOBAL_CALL_GASCAP = 47      # 63/64-capped gas for the child being called
+GLOBAL_SHA_BASE = 48         # sha256.asm per-call state base pointer
 GLOBAL_TXN_DATA_BASE = 64    # calldata words, 32 bytes each, big-endian
 GLOBAL_MIN_SP_BASE = 256
 
@@ -138,7 +139,7 @@ EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
 ASM_DIR = Path(__file__).parent / "asm"
 CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "signed.asm",
               "memory.asm", "rlp.asm", "mpt.asm", "mpt_ops.asm",
-              "curve.asm", "bn_curve.asm", "contract.asm",
+              "curve.asm", "bn_curve.asm", "sha256.asm", "contract.asm",
               "precompiles.asm", "logs.asm", "create.asm", "gas.asm",
               "txn.asm")
 
@@ -269,6 +270,7 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "GLOBAL_INTRINSIC_GAS": GLOBAL_INTRINSIC_GAS,
         "GLOBAL_REFUND": GLOBAL_REFUND,
         "GLOBAL_CALL_GASCAP": GLOBAL_CALL_GASCAP,
+        "GLOBAL_SHA_BASE": GLOBAL_SHA_BASE,
         "GLOBAL_NEXT_CTX": GLOBAL_NEXT_CTX,
         "GLOBAL_TXN_FAILED": GLOBAL_TXN_FAILED,
         "GLOBAL_GAS_USED": GLOBAL_GAS_USED,

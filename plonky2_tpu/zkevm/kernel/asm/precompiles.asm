@@ -38,6 +38,10 @@ global precompile_dispatch:
     EQ
     %jumpi(pc_expmod)
     DUP1
+    PUSH 2
+    EQ
+    %jumpi(pc_sha256)
+    DUP1
     PUSH 6
     EQ
     %jumpi(pc_bn_add)

@@ -172,13 +172,126 @@ def _resolve(tok: str, labels: dict, constants: dict) -> int:
     raise KeyError(f"unresolved symbol: {tok}")
 
 
+_LIT = re.compile(r"-?(0x[0-9a-fA-F]+|\d+)$")
+
+# PUSH a; PUSH b; OP — top of stack is b (pushed last)
+_FOLD2 = {
+    "ADD": lambda a, b: a + b,
+    "MUL": lambda a, b: a * b,
+    "SUB": lambda a, b: b - a,          # top - second
+    "AND": lambda a, b: a & b,
+    "OR": lambda a, b: a | b,
+    "XOR": lambda a, b: a ^ b,
+    "SHL": lambda a, b: a << min(b, 256),   # shift (top) = b
+    "SHR": lambda a, b: a >> min(b, 256),
+    "EQ": lambda a, b: int(a == b),
+    "LT": lambda a, b: int(b < a),      # top < second
+    "GT": lambda a, b: int(b > a),
+    "ISZERO": None,                      # unary, handled separately
+}
+
+
+def optimize(lines: list) -> list:
+    """Peephole constant folding + dead-stack elimination on the
+    expanded instruction stream, BEFORE label assignment — so removing
+    instructions cannot skew jump targets (twin of the reference
+    cpu/kernel/optimizer.rs, which also rewrites pre-layout AST).
+    Label definitions act as barriers: no window crosses one.
+
+    Rules (iterated to fixpoint):
+      PUSH a; PUSH b; binop     -> PUSH (a binop b)   (numeric a, b)
+      PUSH a; ISZERO            -> PUSH (a == 0)
+      PUSH a; NOT               -> PUSH (~a mod 2^256)
+      PUSH x; POP               -> (nothing)
+      DUPn; POP                 -> (nothing)
+      SWAPn; SWAPn              -> (nothing)
+      PUSH 0; ADD / PUSH 0; XOR / PUSH 0; OR / PUSH 0; SHL / PUSH 0; SHR
+                                -> (nothing)            (identities)
+      ISZERO; ISZERO; PUSH l; JUMPI -> PUSH l; JUMPI   (truthiness)
+    """
+    def lit(line):
+        p = line.split()
+        if len(p) == 2 and p[0].upper() == "PUSH" and _LIT.match(p[1]):
+            return int(p[1], 0) & WORD_MASK
+        return None
+
+    def is_label(line):
+        return re.match(r"(global\s+)?(\w+):$", line) is not None
+
+    changed = True
+    while changed:
+        changed = False
+        out = []
+        i = 0
+        n = len(lines)
+        while i < n:
+            l0 = lines[i]
+            u0 = l0.split()[0].upper() if not is_label(l0) else None
+            a = lit(l0)
+            l1 = lines[i + 1] if i + 1 < n else None
+            u1 = (l1.split()[0].upper()
+                  if l1 is not None and not is_label(l1) else None)
+            l2 = lines[i + 2] if i + 2 < n else None
+            u2 = (l2.split()[0].upper()
+                  if l2 is not None and not is_label(l2) else None)
+            # PUSH a; PUSH b; binop
+            if a is not None and l1 is not None and lit(l1) is not None \
+                    and u2 in _FOLD2 and u2 != "ISZERO":
+                v = _FOLD2[u2](a, lit(l1)) & WORD_MASK
+                out.append(f"PUSH {v}")
+                i += 3
+                changed = True
+                continue
+            # PUSH a; unary
+            if a is not None and u1 == "ISZERO":
+                out.append(f"PUSH {int(a == 0)}")
+                i += 2
+                changed = True
+                continue
+            if a is not None and u1 == "NOT":
+                out.append(f"PUSH {(~a) & WORD_MASK}")
+                i += 2
+                changed = True
+                continue
+            # PUSH/DUP followed by POP
+            if u1 == "POP" and (a is not None or
+                                (u0 is not None and u0.startswith("DUP"))):
+                i += 2
+                changed = True
+                continue
+            # SWAPn; SWAPn
+            if u0 is not None and u0.startswith("SWAP") and u1 == u0:
+                i += 2
+                changed = True
+                continue
+            # identity constants
+            if a == 0 and u1 in ("ADD", "XOR", "OR", "SHL", "SHR"):
+                i += 2
+                changed = True
+                continue
+            # double negation before a conditional jump
+            if u0 == "ISZERO" and u1 == "ISZERO" and l2 is not None \
+                    and lit(l2) is None and u2 == "PUSH" \
+                    and i + 3 < n and not is_label(lines[i + 3]) \
+                    and lines[i + 3].split()[0].upper() == "JUMPI":
+                i += 2
+                changed = True
+                continue
+            out.append(l0)
+            i += 1
+        lines = out
+    return lines
+
+
 def assemble(sources: list, constants: dict | None = None,
-             base: int = 0) -> tuple:
+             base: int = 0, optimize_code: bool = True) -> tuple:
     """Assemble source strings into (code, global_labels) where code is
     a list of (opcode, immediate) pairs — one per pc — and
     global_labels maps `global`-declared names to instruction indices
     (assembler.rs:60).  `base` offsets all label values — user programs
-    assemble against their load address Kernel.user_base."""
+    assemble against their load address Kernel.user_base.
+    optimize_code runs the peephole pass (optimizer.rs twin): fewer
+    instructions = fewer CPU rows = directly cheaper proofs."""
     constants = constants or {}
     macros, lines = {}, []
     for src in sources:
@@ -188,6 +301,8 @@ def assemble(sources: list, constants: dict | None = None,
         macros.update(ms)
         lines.extend(body)
     lines = _expand(lines, macros)
+    if optimize_code:
+        lines = optimize(lines)
 
     # pass 1: label indices
     labels, global_labels, pc = {}, {}, base

@@ -1044,3 +1044,47 @@ global a_main:
     want = expected_after_state(inputs, {7: 42, 1: 2, 2: 64, 3: 2},
                                 txn_reverted=False)
     assert pv.trie_roots_after.state == want
+
+
+def test_precompile_sha256():
+    """CALL to 0x02: the in-kernel SHA-256 (32-bit lanes on the 256-bit
+    ALU, kernel/asm/sha256.asm) matches the standard digest, including
+    the padding-boundary and multi-block cases pinned in its
+    development harness."""
+    import hashlib
+
+    code = contract_asm("""
+global a_main:
+    PUSH 0x61
+    PUSH 0
+    MSTORE8
+    PUSH 0x62
+    PUSH 1
+    MSTORE8
+    PUSH 0x63
+    PUSH 2
+    MSTORE8
+    PUSH 32            // retSize
+    PUSH 32            // retOff
+    PUSH 3             // argsSize
+    PUSH 0             // argsOff
+    PUSH 0             // value
+    PUSH 2             // addr: sha256
+    PUSH 1000000       // gas
+    CALL
+    PUSH 1
+    ADD
+    PUSH 1
+    SSTORE             // storage[1] = 2
+    STOP
+""")
+    inputs = make_inputs(code, txn_value=0)
+    sim, pv = simulate_transfer(inputs, trace=False)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    from plonky2_tpu.zkevm.cpu import SEG_RETURNDATA
+    got = bytes(sim.memory.get((0, SEG_RETURNDATA, i), 0)
+                for i in range(32))
+    assert got == hashlib.sha256(b"abc").digest()
+    want = expected_after_state(inputs, {7: 42, 1: 2},
+                                txn_reverted=False)
+    assert pv.trie_roots_after.state == want
