@@ -139,7 +139,8 @@ EXC_ROUTES = ("exc_out_of_gas", "exc_invalid_opcode",
 ASM_DIR = Path(__file__).parent / "asm"
 CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "signed.asm",
               "memory.asm", "rlp.asm", "mpt.asm", "mpt_ops.asm",
-              "curve.asm", "bn_curve.asm", "sha256.asm", "contract.asm",
+              "curve.asm", "bn_curve.asm", "sha256.asm", "blake2f.asm",
+              "contract.asm",
               "precompiles.asm", "logs.asm", "create.asm", "gas.asm",
               "txn.asm")
 

@@ -49,6 +49,10 @@ global precompile_dispatch:
     PUSH 7
     EQ
     %jumpi(pc_bn_mul)
+    DUP1
+    PUSH 9
+    EQ
+    %jumpi(pc_blake2f)
     %jump(panic)
 
 // ---- 0x01 ecrecover: input [hash(32) v(32) r(32) s(32)] at BYTES[ao];

@@ -1088,3 +1088,45 @@ global a_main:
     want = expected_after_state(inputs, {7: 42, 1: 2},
                                 txn_reverted=False)
     assert pv.trie_roots_after.state == want
+
+
+def test_precompile_blake2f():
+    """CALL to 0x09 (EIP-152 BLAKE2b F): 64-bit lanes on the 256-bit
+    ALU with the packed-nibble SIGMA schedule (kernel/asm/blake2f.asm);
+    a full 12-round single-block compression reproduces
+    hashlib.blake2b."""
+    import hashlib
+
+    IV0 = 0x6A09E667F3BCC908
+    h0 = [IV0 ^ 0x01010040, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B,
+          0xA54FF53A5F1D36F1, 0x510E527FADE682D1, 0x9B05688C2B3E6C1F,
+          0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179]
+    msg = b"abc"
+    inp = (12).to_bytes(4, "big")
+    inp += b"".join(x.to_bytes(8, "little") for x in h0)
+    inp += msg + b"\x00" * (128 - len(msg))
+    inp += (3).to_bytes(8, "little") + (0).to_bytes(8, "little") + b"\x01"
+    assert len(inp) == 213
+    stores = "\n".join(f"    PUSH {b}\n    PUSH {i}\n    MSTORE8"
+                       for i, b in enumerate(inp) if b)
+    code = contract_asm(f"""
+global a_main:
+{stores}
+    PUSH 64            // retSize
+    PUSH 1024          // retOff
+    PUSH 213           // argsSize
+    PUSH 0             // argsOff
+    PUSH 0             // value
+    PUSH 9             // addr: blake2f
+    PUSH 10000000      // gas
+    CALL
+    POP
+    STOP
+""")
+    inputs = make_inputs(code, txn_value=0)
+    sim, pv = simulate_transfer(inputs, trace=False)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    from plonky2_tpu.zkevm.cpu import SEG_RETURNDATA
+    got = bytes(sim.memory.get((0, SEG_RETURNDATA, i), 0)
+                for i in range(64))
+    assert got == hashlib.blake2b(b"abc", digest_size=64).digest()
