@@ -84,6 +84,8 @@ SEG_RETURNDATA = 12  # per-context returndata bytes (Segment::Returndata)
 SEG_CTX_META = 13   # per-context metadata (Segment::ContextMetadata)
 SEG_JOURNAL = 14    # state-change journal entries (journal/journal.asm)
 SEG_LOGS = 15       # event-log records (logs.asm; Segment::Logs + TxnBloom)
+SEG_ACCESS = 16     # EIP-2929 warm sets (access.asm; Segment::AccessedAddresses
+                    # + AccessedStorageKeys, flattened into one segment)
 
 # SEG_CTX_META slots (reference memory/segments.rs ContextMetadata)
 META_SP = 0          # saved stack length (SET_CONTEXT swaps SP through it)

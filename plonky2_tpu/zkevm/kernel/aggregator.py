@@ -94,6 +94,10 @@ GLOBAL_INTRINSIC_GAS = 45    # 21000 + calldata gas (txn.asm, EIP-2028)
 GLOBAL_REFUND = 46           # SSTORE-clearing refund counter (EIP-3529)
 GLOBAL_CALL_GASCAP = 47      # 63/64-capped gas for the child being called
 GLOBAL_SHA_BASE = 48         # sha256.asm per-call state base pointer
+GLOBAL_CALL_KIND = 49        # 0=CALL 1=DELEGATECALL 2=STATICCALL (sys_call)
+GLOBAL_RIPEMD_BASE = 50      # ripemd160.asm per-call state base pointer
+GLOBAL_ALIST_LEN = 51        # EIP-2929 accessed-addresses count (access.asm)
+GLOBAL_SLIST_LEN = 52        # EIP-2929 accessed-storage-keys count
 GLOBAL_TXN_DATA_BASE = 64    # calldata words, 32 bytes each, big-endian
 GLOBAL_MIN_SP_BASE = 256
 
@@ -118,6 +122,10 @@ SYSCALL_ROUTES = {
     # inner message calls (round 5)
     0xF1: "sys_call", 0x3D: "sys_returndatasize",
     0x3E: "sys_returndatacopy",
+    # DELEGATECALL/STATICCALL (user 0xF4/0xFA — the NATIVE 0xF4/0xF5
+    # context ops are kernel-only, so these opcodes syscall in user mode)
+    0xF4: "sys_delegatecall", 0xFA: "sys_staticcall",
+    0xF2: "sys_callcode",
     # event logs (logs.asm)
     0xA0: "sys_log", 0xA1: "sys_log", 0xA2: "sys_log",
     0xA3: "sys_log", 0xA4: "sys_log",
@@ -140,7 +148,7 @@ ASM_DIR = Path(__file__).parent / "asm"
 CORE_FILES = ("core.asm", "exceptions.asm", "syscalls.asm", "signed.asm",
               "memory.asm", "rlp.asm", "mpt.asm", "mpt_ops.asm",
               "curve.asm", "bn_curve.asm", "sha256.asm", "blake2f.asm",
-              "contract.asm",
+              "ripemd160.asm", "contract.asm", "access.asm",
               "precompiles.asm", "logs.asm", "create.asm", "gas.asm",
               "txn.asm")
 
@@ -261,10 +269,16 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "CTX_PARENT_CTX": cpu.META_PARENT_CTX,
         "CTX_PARENT_PC": cpu.META_PARENT_PC,
         "CTX_CKPT": cpu.META_CKPT,
+        "CTX_STATIC": cpu.META_STATIC,
         "CTX_MSIZE": cpu.META_MSIZE,
         "CTX_GASLIMIT": cpu.META_GASLIMIT,
         "J_BALANCE": 1, "J_STORAGE": 2, "J_SABSENT": 3, "J_CREATE": 4,
         "J_LOG": 5, "J_NONCE": 6, "J_CODEHASH": 7, "J_REFUND": 8,
+        "J_ALIST": 9, "J_SLIST": 10,
+        "SEGMENT_ACCESS": cpu.SEG_ACCESS,
+        "ACCESS_SLOT_BASE": 1 << 20,
+        "GLOBAL_ALIST_LEN": GLOBAL_ALIST_LEN,
+        "GLOBAL_SLIST_LEN": GLOBAL_SLIST_LEN,
         "GLOBAL_LOG_COUNT": GLOBAL_LOG_COUNT,
         "GLOBAL_LOG_ALLOC": GLOBAL_LOG_ALLOC,
         "GLOBAL_LAST_FRAME_GAS": GLOBAL_LAST_FRAME_GAS,
@@ -272,6 +286,8 @@ def build_kernel(extra_sources: list = (), constants: dict | None = None,
         "GLOBAL_REFUND": GLOBAL_REFUND,
         "GLOBAL_CALL_GASCAP": GLOBAL_CALL_GASCAP,
         "GLOBAL_SHA_BASE": GLOBAL_SHA_BASE,
+        "GLOBAL_CALL_KIND": GLOBAL_CALL_KIND,
+        "GLOBAL_RIPEMD_BASE": GLOBAL_RIPEMD_BASE,
         "GLOBAL_NEXT_CTX": GLOBAL_NEXT_CTX,
         "GLOBAL_TXN_FAILED": GLOBAL_TXN_FAILED,
         "GLOBAL_GAS_USED": GLOBAL_GAS_USED,

@@ -136,10 +136,36 @@ rj_loop:
     PUSH @J_CODEHASH
     EQ
     %jumpi(rj_codehash)
+    DUP1
     PUSH @J_REFUND
     EQ
     %jumpi(rj_refund)
+    DUP1
+    PUSH @J_ALIST
+    EQ
+    %jumpi(rj_alist)
+    PUSH @J_SLIST
+    EQ
+    %jumpi(rj_slist)
     %jump(panic)
+rj_alist:
+    // stack: type, base, retdest — entry [_, old_len, _, _]: re-cool
+    // the addresses warmed inside the reverted frame (EIP-2929)
+    POP
+    PUSH 1
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [old_len, retdest]
+    %mstore_global(@GLOBAL_ALIST_LEN)
+    %jump(rj_loop)
+rj_slist:
+    // stack: base, retdest (type consumed by the EQ chain)
+    PUSH 1
+    ADD
+    PUSH @SEGMENT_JOURNAL
+    MLOAD_GENERAL                // [old_len, retdest]
+    %mstore_global(@GLOBAL_SLIST_LEN)
+    %jump(rj_loop)
 rj_balance:
     // stack: type, base, retdest — entry [_, vptr, old_bal, _]
     POP
@@ -267,7 +293,8 @@ rj_codehash:
     %jump(rj_loop)
 
 rj_refund:
-    // stack: base, retdest — entry [_, old_refund, 0, _]
+    // stack: type, base, retdest — entry [_, old_refund, 0, _]
+    POP
     PUSH 1
     ADD
     PUSH @SEGMENT_JOURNAL
@@ -708,6 +735,13 @@ crd_done:
     MLOAD_GENERAL
 %endmacro
 
+// EIP-214: any state-modifying op inside a STATICCALL frame is an
+// exceptional halt of that frame (reference core/call.asm static checks)
+%macro assert_not_static
+    %push_ctx_meta(@CTX_STATIC)
+    %jumpi(contract_fault)
+%endmacro
+
 global sys_return:
     // stack (top first): trap, offset, len
     DUP3
@@ -734,8 +768,20 @@ sys_rev_1:
     %jump(contract_exit)
 
 global sys_sload:
-    // stack: trap, slot
+    // stack: trap, slot — EIP-2929: warm 100, cold 2100 (access.asm)
     %push_ctx_meta(@CTX_ACCT_VPTR)
+    DUP3
+    DUP2
+    %stack (vptr, slot) -> (vptr, slot, ssl_0)
+    %jump(warm_slot)
+ssl_0:
+    // stack: warm, vptr, trap, slot
+    %jumpi(ssl_w)
+    SWAP1
+    %charge_gas(2000)            // cold surcharge on top of the base 100
+    SWAP1
+ssl_w:
+    // stack: vptr, trap, slot
     %stack (vptr, trap, slot) -> (vptr, slot, ssl_1, trap)
     %jump(storage_read)
 ssl_1:
@@ -754,7 +800,21 @@ global sys_sstore:
     //   live slot,  v == 0    -> @J_STORAGE journal, DELETE the key
     //                            (EVM zero-store semantics), 2900,
     //                            +4800 refund (EIP-3529, @J_REFUND)
+    %assert_not_static
+    // EIP-2929: touching a cold slot costs +2100 whatever the dynamics
     %push_ctx_meta(@CTX_ACCT_VPTR)
+    DUP3
+    DUP2
+    %stack (vptr, slot) -> (vptr, slot, sss_w)
+    %jump(warm_slot)
+sss_w:
+    // stack: warm, vptr, trap, slot, value
+    %jumpi(sss_w1)
+    SWAP1
+    %charge_gas(2100)
+    SWAP1
+sss_w1:
+    // stack: vptr, trap, slot, value
     %stack (vptr, trap, slot) -> (vptr, slot, sss_0, vptr, trap, slot)
     %jump(storage_probe)
 sss_0:
@@ -889,8 +949,55 @@ global sys_address:
 // Fail paths (depth cap, insufficient balance) push 0 without state
 // changes, exactly the EVM result; a reverting child undoes its own
 // journal (contract_exit) and the CALL pushes 0.
+global sys_delegatecall:
+    // stack: trap, gas, addr, ao, asz, ro, rs —
+    // DELEGATECALL(gas, addr, argsOff, argsSize, retOff, retSize)
+    // (reference core/call.asm sys_delegatecall): run addr's CODE under
+    // the CALLER frame's identity — storage, ADDRESS, CALLER and
+    // CALLVALUE all inherited; no value operand, no value transfer.  A
+    // zero value is synthesized so the shared sys_call tail sees the
+    // uniform 8-word shape.
+    PUSH 1
+    %mstore_global(@GLOBAL_CALL_KIND)
+    %stack (trap, gas, addr) -> (trap, gas, addr, 0)
+    %jump(sc_entry)
+
+global sys_callcode:
+    // stack: trap, gas, addr, value, ao, asz, ro, rs —
+    // CALLCODE(gas, addr, value, ...) (reference core/call.asm
+    // sys_callcode, deprecated-but-present): run addr's CODE against
+    // the CALLER's storage and address (like DELEGATECALL) but with a
+    // fresh CALLER/CALLVALUE from the operands (like CALL).  The value
+    // "transfer" is self-to-self — no balance moves, but the EVM still
+    // requires bal >= value (checked at sc_noxfer).  EIP-214 permits
+    // value-bearing CALLCODE inside static frames (nothing moves).
+    PUSH 3
+    %mstore_global(@GLOBAL_CALL_KIND)
+    %jump(sc_entry)
+
+global sys_staticcall:
+    // stack: trap, gas, addr, ao, asz, ro, rs —
+    // STATICCALL(gas, addr, argsOff, argsSize, retOff, retSize)
+    // (reference core/call.asm sys_staticcall): a valueless CALL whose
+    // child frame — and every frame below it, via CTX_STATIC
+    // inheritance — faults on any state-modifying op (EIP-214).
+    PUSH 2
+    %mstore_global(@GLOBAL_CALL_KIND)
+    %stack (trap, gas, addr) -> (trap, gas, addr, 0)
+    %jump(sc_entry)
+
 global sys_call:
     // stack: trap, gas, addr, value, argsOff, argsSize, retOff, retSize
+    PUSH 0
+    %mstore_global(@GLOBAL_CALL_KIND)
+    // EIP-214: a static frame may not transfer value — frame fault
+    DUP4
+    ISZERO
+    %jumpi(sc_entry)
+    %push_ctx_meta(@CTX_STATIC)
+    %jumpi(contract_fault)
+sc_entry:
+    // stack: trap, gas, addr, value, ao, asz, ro, rs
     // memory windows [ao, ao+asz) and [ro, ro+rs) (charged upfront)
     DUP6
     DUP6
@@ -900,6 +1007,17 @@ global sys_call:
     DUP8
     ADD                          // [ro+rs, trap, ...]
     %charge_memory
+    // EIP-2929: first touch of the callee address this txn costs
+    // +2500 (2600 total with the base 100); precompiles/origin/to are
+    // prewarmed (access_lists_init)
+    DUP3
+    %stack (a) -> (a, sc_acc)
+    %jump(warm_addr)
+sc_acc:
+    // stack: warm, trap, gas, addr, value, ao, asz, ro, rs
+    %jumpi(sc_acc_w)
+    %charge_gas(2500)
+sc_acc_w:
     // 63/64 rule: the child limit is min(gas operand, remaining -
     // remaining/64), remaining = frame limit - gas used so far
     // (core/call_gas.asm); +2300 stipend on value-bearing calls
@@ -955,6 +1073,9 @@ sc_noval:
     PUSH 1024
     EQ
     %jumpi(sc_fail)
+    // DELEGATECALL/STATICCALL carry no value: skip the transfer block
+    %mload_global(@GLOBAL_CALL_KIND)
+    %jumpi(sc_noxfer)
     // caller must afford the value: bal(executing account) >= value
     %push_ctx_meta(@CTX_ACCT_VPTR)
     PUSH 1
@@ -1036,6 +1157,34 @@ sc_cr2:
     %mload_global(@GLOBAL_STATE_TRIE_PTR)
     %stack (state, key) -> (state, 64, key, sc_have)
     %jump(mpt_read)
+sc_noxfer:
+    // stack: trap, addr, value, ao, asz, ro, rs — no value transfer;
+    // just resolve the callee account (for its code hash; STATICCALL
+    // also reads its storage through cvptr)
+    %mload_global(@GLOBAL_CALL_KIND)
+    PUSH 3
+    EQ
+    ISZERO
+    %jumpi(sc_nx0)
+    // CALLCODE: the self-transfer still requires bal >= value
+    %push_ctx_meta(@CTX_ACCT_VPTR)
+    PUSH 1
+    ADD
+    %trie_read                   // [bal, trap, addr, value, ao, asz, ro, rs]
+    DUP4
+    SWAP1
+    LT                           // [bal < value, trap, ...]
+    %jumpi(sc_fail)
+sc_nx0:
+    DUP2
+    %stack (a) -> (a, sc_nx1)
+    %jump(addr_key)
+sc_nx1:
+    // stack: key, trap, addr, value, ao, asz, ro, rs
+    DUP1
+    %mload_global(@GLOBAL_STATE_TRIE_PTR)
+    %stack (state, key) -> (state, 64, key, sc_have)
+    %jump(mpt_read)
 sc_have:
     // stack: cvptr, key, trap, addr, value, ao, asz, ro, rs
     SWAP1
@@ -1073,6 +1222,35 @@ sc_have:
     %jump(load_contract_code)
 sc_code:
     // stack: child, cvptr, trap, addr, value, ao, asz, ro, rs
+    %mload_global(@GLOBAL_CALL_KIND)
+    DUP1
+    PUSH 1
+    EQ
+    SWAP1
+    PUSH 3
+    EQ
+    OR
+    ISZERO
+    %jumpi(sc_code_k)
+    // DELEGATECALL/CALLCODE: the child keeps the caller frame's account
+    // (storage writes land in the CALLER's storage) and address — only
+    // the CODE came from `addr` (load_contract_code above)
+    %push_ctx_meta(@CTX_ACCT_VPTR)
+    SWAP2
+    POP                          // cvptr := caller frame's vptr
+    %push_ctx_meta(@CTX_ADDRESS)
+    SWAP4
+    POP                          // addr := caller frame's address
+    %mload_global(@GLOBAL_CALL_KIND)
+    PUSH 1
+    EQ
+    ISZERO
+    %jumpi(sc_code_k)
+    // DELEGATECALL only: call value and original caller also inherit
+    %push_ctx_meta(@CTX_CALLVALUE)
+    SWAP5
+    POP                          // value := caller frame's callvalue
+sc_code_k:
     %mload_global(@GLOBAL_CALL_DEPTH)
     PUSH 1
     ADD
@@ -1084,11 +1262,29 @@ sc_code:
     DUP4
     %stack (a, cmsw) -> (cmsw, @CTX_ADDRESS, a, cmsw)
     MSTORE_GENERAL
+    %mload_global(@GLOBAL_CALL_KIND)
+    PUSH 1
+    EQ
+    %jumpi(sc_clr_dg)
     %push_ctx_meta(@CTX_ADDRESS) // caller frame's own address
+    %jump(sc_clr_go)
+sc_clr_dg:
+    %push_ctx_meta(@CTX_CALLER)  // DELEGATECALL: original caller persists
+sc_clr_go:
     %stack (m, cmsw) -> (cmsw, @CTX_CALLER, m, cmsw)
     MSTORE_GENERAL
     DUP5
     %stack (v, cmsw) -> (cmsw, @CTX_CALLVALUE, v, cmsw)
+    MSTORE_GENERAL
+    // static-ness: inherited from the caller frame, or set by STATICCALL
+    %push_ctx_meta(@CTX_STATIC)
+    %mload_global(@GLOBAL_CALL_KIND)
+    PUSH 2
+    EQ
+    ADD
+    ISZERO
+    ISZERO                       // normalize (inherited + set) to 0/1
+    %stack (s, cmsw) -> (cmsw, @CTX_STATIC, s, cmsw)
     MSTORE_GENERAL
     DUP7
     %stack (n, cmsw) -> (cmsw, @CTX_CALLDATA_SIZE, n, cmsw)
@@ -1103,11 +1299,14 @@ sc_code:
     MSTORE_GENERAL
     // frame checkpoint = journal length BEFORE this CALL's own debit +
     // credit/create entries (always exactly 2), so a child revert also
-    // undoes the value transfer
+    // undoes the value transfer; DELEGATECALL/STATICCALL journal nothing
     %mload_global(@GLOBAL_JOURNAL_LEN)
+    %mload_global(@GLOBAL_CALL_KIND)
+    %jumpi(sc_ckpt_nx)
     PUSH 2
     SWAP1
     SUB
+sc_ckpt_nx:
     %stack (ck, cmsw) -> (cmsw, @CTX_CKPT, ck)
     MSTORE_GENERAL               // [child, trap, addr, value, ao, asz, ro, rs]
     // copy calldata: caller BYTES[ao .. ao+asz) -> child CALLDATA[0..)
@@ -1266,6 +1465,16 @@ global sys_selfdestruct:
     GET_CONTEXT
     ISZERO
     %jumpi(panic)                // only meaningful inside a frame
+    %assert_not_static
+    // EIP-2929: a cold beneficiary costs +2600
+    DUP2
+    %stack (a) -> (a, sd_acc)
+    %jump(warm_addr)
+sd_acc:
+    // stack: warm, trap, beneficiary
+    %jumpi(sd_acc_w)
+    %charge_gas(2600)
+sd_acc_w:
     %push_ctx_meta(@CTX_ACCT_VPTR)
     DUP1
     %journal_balance

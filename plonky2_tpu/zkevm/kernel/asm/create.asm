@@ -32,6 +32,7 @@
 
 global sys_create:
     // stack: trap, value, offset, size
+    %assert_not_static
     DUP4
     DUP4
     ADD                          // [offset+size, trap, value, offset, size]
@@ -92,6 +93,7 @@ scr_4:
 
 global sys_create2:
     // stack: trap, value, offset, size, salt
+    %assert_not_static
     DUP4
     DUP4
     ADD
@@ -150,6 +152,13 @@ global create_common:
     PUSH 1024
     EQ
     %jumpi(cc_fail)
+    // EIP-2929: the created address enters the warm set (journaled, so
+    // a surrounding revert re-cools it); the result is irrelevant here
+    DUP1
+    %stack (a) -> (a, cc_acc)
+    %jump(warm_addr)
+cc_acc:
+    POP
     // creator must afford the endowment
     %push_ctx_meta(@CTX_ACCT_VPTR)
     PUSH 1

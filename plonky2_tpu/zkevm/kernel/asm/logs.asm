@@ -26,6 +26,7 @@
 // sys_log: LOG0..LOG4 (0xa0+n).  stack: trap, offset, size, topic..
 // Gas (EVM exact): 375 + 375*n + 8*size.
 global sys_log:
+    %assert_not_static
     // memory window [offset, offset+size)
     DUP3
     DUP3

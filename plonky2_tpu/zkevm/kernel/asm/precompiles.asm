@@ -11,9 +11,11 @@
 // transfer.py GenerationInputs.extra_prover_inputs), 0x04 identity,
 // 0x05 expmod (EIP-198 with operands <= 32 bytes each — the word
 // machine's MULMOD is 256-bit; larger operands would need the
-// reference's bignum library, a documented reduction).  Unimplemented
-// addresses (2, 3, 6..9) PANIC: a block calling them is unprovable
-// rather than wrongly executed.  An INVALID signature to 0x01 also
+// reference's bignum library, a documented reduction).  0x02 sha256,
+// 0x03 ripemd160, 0x06/0x07 bn_add/bn_mul and 0x09 blake2f live in
+// their own files.  The one unimplemented address (8, snarkv) PANICs:
+// a block calling it is unprovable rather than wrongly executed.
+// An INVALID signature to 0x01 also
 // PANICs (the reference returns empty; unprovable-vs-empty is a
 // completeness reduction only).
 //
@@ -53,6 +55,10 @@ global precompile_dispatch:
     PUSH 9
     EQ
     %jumpi(pc_blake2f)
+    DUP1
+    PUSH 3
+    EQ
+    %jumpi(pc_ripemd160)
     %jump(panic)
 
 // ---- 0x01 ecrecover: input [hash(32) v(32) r(32) s(32)] at BYTES[ao];

@@ -288,6 +288,11 @@ brv_6:
 // nonce += 1), credit recipient + beneficiary, insert txn and receipt
 // into their tries at key rlp(0) = 0x80.
 global execute_transfer:
+    // EIP-2929 warm sets start fresh each txn, prewarmed with origin,
+    // recipient and the precompile addresses (access.asm)
+    PUSH et_al
+    %jump(access_lists_init)
+et_al:
     // intrinsic gas: 21000 + calldata bytes (gas.asm, EIP-2028); the
     // fee charged upfront is gasprice * intrinsic — executed frames'
     // gas reaches the RECEIPT but not the sender's balance (no per-txn

@@ -42,6 +42,9 @@ MNEMONICS.update({
     "RETURN": 0xF3, "REVERT": 0xFD, "INVALID": 0xFE,
     # inner message calls (round 5, contract.asm sys_call)
     "CALL": 0xF1, "RETURNDATASIZE": 0x3D, "RETURNDATACOPY": 0x3E,
+    # user-mode 0xF4/0xFA (the kernel-only GET_CONTEXT native shares
+    # 0xF4's byte; sys_delegatecall/sys_staticcall, contract.asm)
+    "DELEGATECALL": 0xF4, "STATICCALL": 0xFA, "CALLCODE": 0xF2,
     # event logs (logs.asm sys_log)
     "LOG0": 0xA0, "LOG1": 0xA1, "LOG2": 0xA2, "LOG3": 0xA3, "LOG4": 0xA4,
     # contract creation (create.asm); user-mode 0xf5 is CREATE2 (the

@@ -183,6 +183,9 @@ SYSCALL_MIN_STACK = {
     0xFD: 2,   # REVERT(offset, len)
     # inner message calls (round 5, kernel/asm/contract.asm sys_call)
     0xF1: 7,   # CALL(gas, addr, value, argsOff, argsSize, retOff, retSize)
+    0xF4: 6,   # DELEGATECALL(gas, addr, argsOff, argsSize, retOff, retSize)
+    0xFA: 6,   # STATICCALL(gas, addr, argsOff, argsSize, retOff, retSize)
+    0xF2: 7,   # CALLCODE(gas, addr, value, argsOff, argsSize, retOff, retSize)
     0x3D: 0,   # RETURNDATASIZE
     0x3E: 3,   # RETURNDATACOPY(destOff, off, len)
 

@@ -1130,3 +1130,314 @@ global a_main:
     got = bytes(sim.memory.get((0, SEG_RETURNDATA, i), 0)
                 for i in range(64))
     assert got == hashlib.blake2b(b"abc", digest_size=64).digest()
+
+
+# ------------------------------------- DELEGATECALL / STATICCALL
+
+def test_delegatecall_runs_callee_code_in_caller_frame():
+    """A DELEGATECALLs B: B's code executes with A's storage, address,
+    caller and callvalue; no value moves (core/call.asm
+    sys_delegatecall semantics)."""
+    code_a = contract_asm("""
+global a_main:
+    PUSH 0             // retSize
+    PUSH 0             // retOff
+    PUSH 0             // argsSize
+    PUSH 0             // argsOff
+    PUSH 0x1000000000000000000000000000000000000001
+    PUSH 1000000       // gas
+    DELEGATECALL       // -> status
+    PUSH 1
+    ADD
+    PUSH 1
+    SSTORE             // A.storage[1] = status + 1
+    STOP
+""")
+    code_b = contract_asm("""
+global b_main:
+    PUSH 77
+    PUSH 5
+    SSTORE             // lands in A's storage (delegated frame)
+    CALLVALUE
+    PUSH 6
+    SSTORE             // A's own callvalue (the txn value 5), not 0
+    ADDRESS
+    PUSH 8
+    SSTORE             // executing address reads as A
+    CALLER
+    PUSH 9
+    SSTORE             // A's caller (the txn sender) persists
+    STOP
+""")
+    inputs = make_two_contract_inputs(code_a, code_b)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    want = _two_contract_expected(
+        inputs,
+        a_slots={7: 42, 1: 2, 5: 77, 6: 5,
+                 8: int.from_bytes(CONTRACT, "big"),
+                 9: int.from_bytes(SENDER, "big")},
+        b_slots={}, b_balance=50, a_value_delta=0)
+    assert pv.trie_roots_after.state == want
+
+
+def test_staticcall_reads_and_returns():
+    """A STATICCALLs B: B runs with zero callvalue, can build and RETURN
+    returndata; A observes status 1 and the returndata size."""
+    code_a = contract_asm("""
+global a_main:
+    PUSH 1             // retSize
+    PUSH 0             // retOff
+    PUSH 0             // argsSize
+    PUSH 0             // argsOff
+    PUSH 0x1000000000000000000000000000000000000001
+    PUSH 1000000       // gas
+    STATICCALL         // -> status
+    PUSH 1
+    ADD
+    PUSH 1
+    SSTORE             // A.storage[1] = status + 1 = 2
+    RETURNDATASIZE
+    PUSH 2
+    SSTORE             // A.storage[2] = 1
+    STOP
+""")
+    code_b = contract_asm("""
+global b_main:
+    CALLVALUE          // 0 inside a static frame
+    PUSH 42
+    ADD
+    PUSH 0
+    MSTORE8
+    PUSH 1
+    PUSH 0
+    RETURN
+""")
+    inputs = make_two_contract_inputs(code_a, code_b)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    from plonky2_tpu.zkevm.cpu import SEG_RETURNDATA
+    assert sim.memory.get((0, SEG_RETURNDATA, 0), 0) == 42
+    want = _two_contract_expected(
+        inputs, a_slots={7: 42, 1: 2, 2: 1},
+        b_slots={}, b_balance=50, a_value_delta=0)
+    assert pv.trie_roots_after.state == want
+
+
+def test_staticcall_sstore_faults_child():
+    """SSTORE inside a static frame is an exceptional halt of that frame
+    (EIP-214): the STATICCALL returns 0, the transaction succeeds."""
+    code_a = contract_asm("""
+global a_main:
+    PUSH 0
+    PUSH 0
+    PUSH 0
+    PUSH 0
+    PUSH 0x1000000000000000000000000000000000000001
+    PUSH 1000000
+    STATICCALL
+    PUSH 1
+    ADD
+    PUSH 1
+    SSTORE             // status + 1 = 1
+    STOP
+""")
+    code_b = contract_asm("""
+global b_main:
+    PUSH 9
+    PUSH 5
+    SSTORE             // static violation -> frame fault
+    STOP
+""")
+    inputs = make_two_contract_inputs(code_a, code_b)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    want = _two_contract_expected(
+        inputs, a_slots={7: 42, 1: 1},
+        b_slots={}, b_balance=50, a_value_delta=0)
+    assert pv.trie_roots_after.state == want
+
+
+def test_static_value_call_faults():
+    """A value-bearing CALL issued from inside a static frame faults
+    that frame at sys_call entry (EIP-214 value check)."""
+    code_a = contract_asm("""
+global a_main:
+    PUSH 0
+    PUSH 0
+    PUSH 0
+    PUSH 0
+    PUSH 0x1000000000000000000000000000000000000001
+    PUSH 1000000
+    STATICCALL
+    PUSH 1
+    ADD
+    PUSH 1
+    SSTORE             // status + 1 = 1 (B faulted)
+    STOP
+""")
+    code_b = contract_asm("""
+global b_main:
+    PUSH 0
+    PUSH 0
+    PUSH 0
+    PUSH 0
+    PUSH 1             // value != 0: forbidden under static
+    PUSH 0x1000000000000000000000000000000000000001
+    PUSH 100000
+    CALL
+    STOP
+""")
+    inputs = make_two_contract_inputs(code_a, code_b)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    want = _two_contract_expected(
+        inputs, a_slots={7: 42, 1: 1},
+        b_slots={}, b_balance=50, a_value_delta=0)
+    assert pv.trie_roots_after.state == want
+
+
+@pytest.mark.parametrize("msg,want_hex", [
+    (b"", "9c1185a5c5e9fc54612808977ee8f548b2258d31"),
+    (b"abc", "8eb208f7e05d987a9b044a8e98c6b087f15a0bfc"),
+    # 80 bytes: exercises the multi-block path (2 x 64-byte blocks)
+    (b"1234567890" * 8, "9b752e45573d4b39f4dbd3323cab82bf63326bfb"),
+])
+def test_precompile_ripemd160(msg, want_hex):
+    """CALL to 0x03 (kernel/asm/ripemd160.asm): both 5-round lines over
+    little-endian message words; output left-padded to 32 bytes against
+    the spec test vectors (Dobbertin/Bosselaers/Preneel 1996)."""
+    stores = "\n".join(f"    PUSH {b}\n    PUSH {i}\n    MSTORE8"
+                       for i, b in enumerate(msg) if b)
+    code = contract_asm(f"""
+global a_main:
+{stores}
+    PUSH 32            // retSize
+    PUSH 1024          // retOff
+    PUSH {len(msg)}    // argsSize
+    PUSH 0             // argsOff
+    PUSH 0             // value
+    PUSH 3             // addr: ripemd160
+    PUSH 10000000      // gas
+    CALL
+    POP
+    STOP
+""")
+    inputs = make_inputs(code, txn_value=0)
+    sim, pv = simulate_transfer(inputs, trace=False)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    from plonky2_tpu.zkevm.cpu import SEG_RETURNDATA
+    got = bytes(sim.memory.get((0, SEG_RETURNDATA, i), 0)
+                for i in range(32))
+    assert got == b"\x00" * 12 + bytes.fromhex(want_hex)
+
+
+# ------------------------------------------------- EIP-2929 warm/cold
+
+def _gas_of(src: str) -> int:
+    inputs = make_inputs(contract_asm(src), txn_value=0)
+    sim, _ = simulate_transfer(inputs, trace=False)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    return int(sim.memory[(0, SEG_GLOBAL, GLOBAL_GAS_USED)])
+
+
+def test_eip2929_sload_cold_then_warm():
+    """Second SLOAD of the SAME slot is warm (100); a different slot is
+    cold again (2100) — the 2000 surcharge shows up as a pure gas delta
+    between instruction-identical programs (access.asm warm_slot)."""
+    def prog(slots):
+        body = "\n".join(f"    PUSH {s}\n    SLOAD\n    POP" for s in slots)
+        return f"global a_main:\n{body}\n    STOP"
+    two_same = _gas_of(prog([7, 7]))
+    two_diff = _gas_of(prog([7, 8]))
+    assert two_diff - two_same == 2000
+
+
+def test_eip2929_call_cold_then_warm():
+    """Second zero-value CALL to the same (codeless, absent) address is
+    warm: the instruction-identical two-address variant pays the 2500
+    cold-account surcharge once more (access.asm warm_addr)."""
+    def prog(addrs):
+        calls = "\n".join(f"""    PUSH 0
+    PUSH 0
+    PUSH 0
+    PUSH 0
+    PUSH 0
+    PUSH {a}
+    PUSH 100000
+    CALL
+    POP""" for a in addrs)
+        return f"global a_main:\n{calls}\n    STOP"
+    b1 = 0x2000000000000000000000000000000000000001
+    b2 = 0x2000000000000000000000000000000000000002
+    g_same = _gas_of(prog([b1, b1]))
+    g_diff = _gas_of(prog([b1, b2]))
+    assert g_diff - g_same == 2500
+
+
+def test_eip2929_sstore_cold_surcharge():
+    """SSTORE pays +2100 on a cold slot; an SLOAD first warms it
+    (the EVM's one shared warm set for both opcodes)."""
+    warm_first = _gas_of("""global a_main:
+    PUSH 7
+    SLOAD
+    POP
+    PUSH 100
+    PUSH 7
+    SSTORE
+    STOP""")
+    cold_direct = _gas_of("""global a_main:
+    PUSH 8
+    SLOAD
+    POP
+    PUSH 100
+    PUSH 7
+    SSTORE
+    STOP""")
+    # both programs SLOAD one cold slot + SSTORE slot 7; only the second
+    # pays the SSTORE cold surcharge
+    assert cold_direct - warm_first == 2100
+
+
+def test_callcode_caller_storage_own_value():
+    """A CALLCODEs B with value 3: B's code runs against A's storage and
+    address, CALLVALUE reads the operand, CALLER reads A itself, and no
+    balance moves (self-transfer)."""
+    code_a = contract_asm("""
+global a_main:
+    PUSH 0             // retSize
+    PUSH 0             // retOff
+    PUSH 0             // argsSize
+    PUSH 0             // argsOff
+    PUSH 3             // value (self-to-self; must not move balances)
+    PUSH 0x1000000000000000000000000000000000000001
+    PUSH 1000000       // gas
+    CALLCODE           // -> status
+    PUSH 1
+    ADD
+    PUSH 1
+    SSTORE             // A.storage[1] = status + 1
+    STOP
+""")
+    code_b = contract_asm("""
+global b_main:
+    PUSH 88
+    PUSH 5
+    SSTORE             // lands in A's storage
+    CALLVALUE
+    PUSH 6
+    SSTORE             // the CALLCODE value operand (3)
+    CALLER
+    PUSH 9
+    SSTORE             // A's own address, NOT the txn sender
+    STOP
+""")
+    inputs = make_two_contract_inputs(code_a, code_b)
+    sim, pv = simulate_transfer(inputs)
+    assert sim.memory.get((0, SEG_GLOBAL, GLOBAL_TXN_FAILED), 0) == 0
+    want = _two_contract_expected(
+        inputs,
+        a_slots={7: 42, 1: 2, 5: 88, 6: 3,
+                 9: int.from_bytes(CONTRACT, "big")},
+        b_slots={}, b_balance=50, a_value_delta=0)
+    assert pv.trie_roots_after.state == want

@@ -246,16 +246,18 @@ def test_exc_invalid_jump_and_jumpi():
 
 
 def test_exc_out_of_gas():
+    # the loop label is an optimizer barrier — a straight PUSH/ADD
+    # chain would constant-fold to a single cheap PUSH (assembler.py
+    # optimize) and never cross the 5-gas limit
     sim = run("""
 global user_main:
+    PUSH 0
+loop:
+    JUMPDEST
     PUSH 1
-    PUSH 2
     ADD
-    PUSH 3
-    ADD
-    PUSH 4
-    ADD
-    STOP
+    PUSH loop
+    JUMP
 """, global_values={GLOBAL_BLOCK_GASLIMIT: 5})
     assert sim.exc_status == 1
 
